@@ -1,0 +1,279 @@
+"""Command-line interface: train / eval / predict / make-video.
+
+Maps the reference's four entry points onto subcommands:
+  train      <- reference train.py + gn/train_p3d_gn_dataset.py
+  eval       <- reference test.py
+  predict    <- reference gen_pred.py
+  make-video <- reference gen_video.py
+  eval-dirs  <- reference utils/matlab_metric/eval_vid.py (no MATLAB)
+
+Flag names mirror the reference argparse surface (reference train.py:21-45)
+with the bool-parsing quirk fixed (core/config.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+import numpy as np
+
+from sap3d_tpu.core.config import (
+    DATASET_ROOTS,
+    Config,
+    DataConfig,
+    ModelConfig,
+    TrainConfig,
+    parse_bool,
+)
+
+
+def _add_common_model_flags(p: argparse.ArgumentParser):
+    p.add_argument("--structure", type=str, default="unet++",
+                   help="model name or alias (unet/concat/unet++/P3D_SA_CONCAT/...)")
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   help="compute dtype: bfloat16/float32")
+    p.add_argument("--normalization", type=str, default=None,
+                   help="ignored; BN/GN is keyed by the model variant "
+                        "(kept for reference CLI compat)")
+    p.add_argument("--SA", type=parse_bool, default=True,
+                   help="kept for reference CLI compat (variant-keyed)")
+
+
+def _add_data_flags(p: argparse.ArgumentParser):
+    p.add_argument("--dataset", type=str, default=None,
+                   help="named dataset (svsd/dhf1k/svsdndhf1k)")
+    p.add_argument("--frames", type=str, nargs="*", default=None,
+                   help="frame root dirs (override --dataset)")
+    p.add_argument("--densities", type=str, nargs="*", default=None)
+    p.add_argument("--fixations", type=str, default=None)
+    p.add_argument("--videolength", type=int, default=16)
+    p.add_argument("--overlap", type=int, default=15)
+    p.add_argument("--trainingprops", type=float, default=0.9)
+    p.add_argument("--imagesize", type=int, default=112)
+    p.add_argument("--threads", type=int, default=16)
+
+
+def _data_config(args) -> DataConfig:
+    frame_dirs, density_dirs, fixation_dir = args.frames, args.densities, args.fixations
+    if args.dataset:
+        roots = DATASET_ROOTS[args.dataset]
+        frame_dirs = frame_dirs or roots["frame_dirs"]
+        density_dirs = density_dirs or roots["density_dirs"]
+        fixation_dir = fixation_dir or roots.get("fixation_dir")
+    return DataConfig(
+        frame_dirs=frame_dirs or (),
+        density_dirs=density_dirs or (),
+        fixation_dir=fixation_dir,
+        video_length=args.videolength,
+        overlap=args.overlap,
+        training_props=args.trainingprops,
+        image_size=args.imagesize,
+        num_threads=args.threads,
+    )
+
+
+def cmd_train(argv) -> int:
+    p = argparse.ArgumentParser(prog="sap3d train")
+    _add_common_model_flags(p)
+    _add_data_flags(p)
+    p.add_argument("--plotiter", type=int, default=1000)
+    p.add_argument("--validiter", type=int, default=160000)
+    p.add_argument("--saveiter", type=int, default=4000)
+    p.add_argument("--pretrain", type=str, default=None)
+    p.add_argument("--epoch", type=int, default=4)
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--info", type=str, default="")
+    p.add_argument("--devices", type=int, default=-1)
+    p.add_argument("--sync-bn", type=parse_bool, default=False)
+    args = p.parse_args(argv)
+
+    from sap3d_tpu.data.indexer import ClipIndex
+    from sap3d_tpu.data.pipeline import ClipLoader
+    from sap3d_tpu.train.trainer import Trainer
+
+    cfg = Config(
+        model=ModelConfig(name=args.structure, dtype=args.dtype),
+        data=_data_config(args),
+        train=TrainConfig(
+            batch_size=args.batch, lr=args.lr, epochs=args.epoch,
+            plot_iter=args.plotiter, valid_iter=args.validiter,
+            save_iter=args.saveiter, pretrain=args.pretrain,
+            num_devices=args.devices, info=args.info, sync_bn=args.sync_bn,
+        ),
+    )
+    idx = ClipIndex(
+        cfg.data.frame_dirs, cfg.data.density_dirs,
+        fixation_dir=cfg.data.fixation_dir,
+        video_length=cfg.data.video_length,
+    ).setup(
+        overlap=cfg.data.overlap, training_props=cfg.data.training_props,
+        skip_head=cfg.data.skip_head, seed=cfg.data.shuffle_seed,
+    )
+    print(idx.summary())
+    trainer = Trainer(cfg)
+    train_loader = ClipLoader(
+        idx.train_clips(), cfg.train.batch_size, size=cfg.data.image_size,
+        num_threads=cfg.data.num_threads, epochs=cfg.train.epochs,
+    )
+    valid_fn = lambda: ClipLoader(  # noqa: E731
+        idx.valid_clips(), cfg.train.batch_size, size=cfg.data.image_size,
+        num_threads=cfg.data.num_threads, shuffle=False,
+    )
+    trainer.fit(iter(train_loader), valid_fn)
+    trainer.close()
+    return 0
+
+
+def cmd_eval(argv) -> int:
+    p = argparse.ArgumentParser(prog="sap3d eval")
+    _add_common_model_flags(p)
+    _add_data_flags(p)
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--checkpoint", type=str, required=True,
+                   help="run directory under ./model/ to restore")
+    p.add_argument("--model-dir", type=str, default="./model")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from sap3d_tpu.data.indexer import ClipIndex
+    from sap3d_tpu.data.pipeline import ClipLoader
+    from sap3d_tpu.eval.evaluator import evaluate_prediction_batches
+    from sap3d_tpu.models.registry import build_model, resolve_name
+    from sap3d_tpu.train.checkpoint import try_restore_latest
+    from sap3d_tpu.train.state import create_train_state
+    from sap3d_tpu.train.steps import make_eval_step
+
+    data = _data_config(args)
+    idx = ClipIndex(
+        data.frame_dirs, data.density_dirs, fixation_dir=data.fixation_dir,
+        video_length=data.video_length,
+    ).setup(overlap=data.overlap, training_props=0.0, skip_head=data.skip_head)
+    print(idx.summary())
+
+    model = build_model(resolve_name(args.structure), dtype=args.dtype)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        input_shape=(args.batch, data.video_length, data.image_size,
+                     data.image_size, 3),
+    )
+    import os
+
+    state, ok = try_restore_latest(state, os.path.join(args.model_dir, args.checkpoint))
+    if not ok:
+        print(f"no checkpoint found under {args.model_dir}/{args.checkpoint}",
+              file=sys.stderr)
+        return 1
+    ev = make_eval_step(model)
+    loader = ClipLoader(
+        idx.valid_clips(with_fixations=True), args.batch, size=data.image_size,
+        num_threads=data.num_threads, shuffle=False, test_mode=True,
+    )
+    result = evaluate_prediction_batches(
+        iter(loader), lambda f: ev(state, jax.numpy.asarray(f))
+    )
+    print(
+        f" All: {result['n']}, Metrics: CC: {result['cc']:.3f}  "
+        f"SIM: {result['sim']:.3f}   NSS: {result['nss']:.3f}  "
+        f"AUC_Judd: {result['auc_judd']:.3f}   AUC_Borji: {result['auc_borji']:.3f}"
+    )
+    return 0
+
+
+def cmd_predict(argv) -> int:
+    p = argparse.ArgumentParser(prog="sap3d predict")
+    _add_common_model_flags(p)
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--model-dir", type=str, default="./model")
+    p.add_argument("--data", type=str, required=True, help="video frames root")
+    p.add_argument("--out", type=str, required=True, help="output root")
+    p.add_argument("--batch-windows", type=int, default=8)
+    args = p.parse_args(argv)
+
+    import os
+
+    import jax
+
+    from sap3d_tpu.infer.predictor import SlidingWindowPredictor
+    from sap3d_tpu.models.registry import build_model, resolve_name
+    from sap3d_tpu.train.checkpoint import try_restore_latest
+    from sap3d_tpu.train.state import create_train_state
+    from sap3d_tpu.train.steps import make_eval_step
+
+    model = build_model(resolve_name(args.structure), dtype=args.dtype)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        input_shape=(args.batch_windows, 16, 112, 112, 3),
+    )
+    state, ok = try_restore_latest(state, os.path.join(args.model_dir, args.checkpoint))
+    if not ok:
+        print("checkpoint missing", file=sys.stderr)
+        return 1
+    ev = make_eval_step(model)
+    pred = SlidingWindowPredictor(
+        lambda clips: ev(state, clips), batch_windows=args.batch_windows
+    )
+    n = pred.export_dataset(args.data, args.out)
+    print(f"exported {n} videos")
+    return 0
+
+
+def cmd_make_video(argv) -> int:
+    p = argparse.ArgumentParser(prog="sap3d make-video")
+    p.add_argument("--results", type=str, required=True)
+    p.add_argument("--out", type=str, required=True)
+    p.add_argument("--fps", type=float, default=25.0)
+    args = p.parse_args(argv)
+    from sap3d_tpu.infer.video import export_all_videos
+
+    n = export_all_videos(args.results, args.out, fps=args.fps)
+    print(f"wrote {n} videos")
+    return 0
+
+
+def cmd_eval_dirs(argv) -> int:
+    p = argparse.ArgumentParser(prog="sap3d eval-dirs")
+    p.add_argument("--pred", type=str, required=True)
+    p.add_argument("--density", type=str, required=True)
+    p.add_argument("--fixation", type=str, default=None)
+    p.add_argument("--metrics", type=str, nargs="*",
+                   default=["cc", "sim", "auc_judd"])
+    args = p.parse_args(argv)
+    from sap3d_tpu.eval.evaluator import evaluate_saliency_dirs
+
+    results = evaluate_saliency_dirs(
+        args.pred, args.density, args.fixation, tuple(args.metrics)
+    )
+    for video, scores in results.items():
+        line = "  ".join(f"{k}: {v:.4f}" for k, v in scores.items())
+        print(f"{video}: {line}")
+    if results:
+        for m in args.metrics:
+            vals = [s[m] for s in results.values() if m in s]
+            if vals:
+                print(f"MEAN {m}: {float(np.nanmean(vals)):.4f}")
+    return 0
+
+
+COMMANDS = {
+    "train": cmd_train,
+    "eval": cmd_eval,
+    "predict": cmd_predict,
+    "make-video": cmd_make_video,
+    "eval-dirs": cmd_eval_dirs,
+}
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] not in COMMANDS:
+        print(f"usage: sap3d {{{','.join(COMMANDS)}}} [args]", file=sys.stderr)
+        return 2
+    return COMMANDS[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

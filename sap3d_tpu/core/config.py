@@ -1,0 +1,143 @@
+"""Configuration dataclasses for the whole framework.
+
+The reference scatters its configuration across argparse flags in each entry
+point (reference train.py:21-45, test.py:22-45, gn/train_p3d_gn_dataset.py:28-45)
+plus hard-coded module constants (reference p3d.py:4-8) and dataset roots keyed
+by a ``--dataset`` string (reference train.py:76-91).  Here everything lives in
+typed dataclasses with CLI overrides; dataset roots are config, not code.
+
+The reference's ``type=bool`` argparse quirk (any non-empty string parses True,
+reference train.py:38) is fixed: boolean flags use explicit true/false parsing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+
+# Module constants of the reference (reference p3d.py:4-8).
+CROP_SIZE = 112
+NUM_FRAMES_PER_CLIP = 16
+RGB_CHANNEL = 3
+BLOCK_EXPANSION = 4
+
+# Per-channel RGB mean subtracted by the decode pipeline, already reversed to
+# RGB order (reference dataflow.py:194-196: BGR mean [98,102,90] flipped).
+RGB_MEAN = (90.0, 102.0, 98.0)
+
+
+def parse_bool(v: Any) -> bool:
+    """Strict bool parsing (fixes reference train.py:38's truthy-string quirk)."""
+    if isinstance(v, bool):
+        return v
+    s = str(v).strip().lower()
+    if s in ("1", "true", "t", "yes", "y"):
+        return True
+    if s in ("0", "false", "f", "no", "n"):
+        return False
+    raise ValueError(f"cannot parse boolean from {v!r}")
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Which model variant to build and with what numerics."""
+
+    # Registry name, e.g. "p3d_unetplusplus_ds" (see models/registry.py).
+    name: str = "p3d_unetplusplus_ds"
+    # Computation dtype. Params always live in float32; "bfloat16" runs the
+    # convs/matmuls on the MXU at 2x throughput.
+    dtype: str = "bfloat16"
+    # Dropout rate fed at train time (reference train.py:218 uses 0.5).
+    dropout: float = 0.5
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Clip indexing + decode pipeline settings (reference dataflow.py)."""
+
+    frame_dirs: Sequence[str] = ()
+    density_dirs: Sequence[str] = ()
+    fixation_dir: str | None = None
+    video_length: int = NUM_FRAMES_PER_CLIP
+    # Stride between clip starts is video_length - overlap
+    # (reference dataflow.py:43).
+    overlap: int = 15
+    # Frames skipped at the head of every video (reference dataflow.py:39).
+    skip_head: int = 11
+    # Train/valid split proportion (reference train.py:97 uses 0.9).
+    training_props: float = 0.9
+    image_size: int = CROP_SIZE
+    # Decode worker threads (reference train.py:101 uses 32).
+    num_threads: int = 16
+    # Batches buffered ahead of the device (reference PrefetchDataZMQ analogue).
+    prefetch: int = 4
+    shuffle_seed: int = 0
+    # frame filename patterns (reference dataflow.py:72-74).
+    frame_wildcard: str = "frame_%d.jpg"
+    gt_wildcard: str = "frame_%d.jpg"
+    fix_wildcard: str = "frame_%d.bmp"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 2  # global batch (reference train.py:39)
+    lr: float = 1e-4  # reference train.py:40
+    epochs: int = 4  # reference train.py:30
+    plot_iter: int = 1000  # reference train.py:24
+    valid_iter: int = 160000  # reference train.py:25
+    save_iter: int = 4000  # reference train.py:26
+    max_to_keep: int = 10  # reference train.py:185
+    seed: int = 0
+    # Resume from latest checkpoint in this run dir (reference --pretrain).
+    pretrain: str | None = None
+    # Data-parallel mesh size; 1 = single chip. The reference has no DP at all
+    # (reference train.sh runs 3 independent single-GPU processes).
+    num_devices: int = -1  # -1 = use all local devices
+    model_dir: str = "./model"
+    logs_dir: str = "./logs"
+    info: str = ""
+    # Sync BatchNorm batch statistics across the data-parallel mesh. Default
+    # False for parity: TF1 computed per-replica stats (SURVEY.md section 7).
+    sync_bn: bool = False
+    # NaN debugging (jax.config.debug_nans analogue, applied in trainer).
+    debug_nans: bool = False
+    # When set, capture a jax.profiler trace of steps [profile_start,
+    # profile_start + profile_steps) into this directory.  (The reference has
+    # no profiling at all — its timeline import is commented out, reference
+    # gn/train_p3d_gn_dataset.py:21.)
+    profile_dir: str | None = None
+    profile_start: int = 10
+    profile_steps: int = 5
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+# Named dataset roots, mirroring reference train.py:76-91 / test.py:73-76 but
+# overridable (they are config values, not code).
+DATASET_ROOTS: dict[str, dict[str, Any]] = {
+    "svsd": {
+        "frame_dirs": ["/data/svsd/train/left_view_svsd/"],
+        "density_dirs": ["/data/svsd/train/left_density_svsd/"],
+        "fixation_dir": None,
+    },
+    "dhf1k": {
+        "frame_dirs": ["/data/DHF1K/frames/"],
+        "density_dirs": ["/data/DHF1K/density/"],
+        "fixation_dir": None,
+    },
+    "svsdndhf1k": {
+        "frame_dirs": ["/data/svsd/train/left_view_svsd/", "/data/DHF1K/frames/"],
+        "density_dirs": ["/data/svsd/train/left_density_svsd/", "/data/DHF1K/density/"],
+        "fixation_dir": None,
+    },
+}

@@ -1,0 +1,180 @@
+"""Host decode/augment pipeline feeding clips to the TPU.
+
+Replaces the reference's tensorpack chain
+``ImageFromFile -> MultiThreadMapData(32) -> BatchData -> PrefetchDataZMQ``
+(reference train.py:99-119) with a thread-pool decoder plus a bounded
+prefetch queue; device transfer happens via ``jax.device_put`` with the
+target sharding so each host only ships its local shard.
+
+Preprocessing order parity is critical for metric parity (SURVEY.md
+section 7, "hard parts"): frames are read BGR, flipped to RGB, mean-subtracted
+with the REVERSED BGR mean [98,102,90] -> RGB [90,102,98], THEN resized to
+112, THEN divided by 255 (reference dataflow.py:194-209).  Density maps are
+read grayscale, resized, /255 (reference dataflow.py:210-215).  The test-mode
+variant resizes densities to (960,1080) and keeps fixations at native
+resolution (reference dataflow.py:219-240).
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, Sequence
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover - cv2 is present in the target image
+    cv2 = None
+
+from sap3d_tpu.data.indexer import ClipPaths
+
+# RGB-order mean (reference dataflow.py:194-196: BGR [98,102,90] reversed).
+_RGB_MEAN = np.array([90.0, 102.0, 98.0], dtype=np.float32)
+
+
+def _require_cv2():
+    if cv2 is None:
+        raise ImportError("cv2 is required for JPEG decoding")
+
+
+def preprocess_frame(bgr: np.ndarray, size: int = 112) -> np.ndarray:
+    """BGR uint8 frame -> float32 [size,size,3] with reference semantics.
+
+    Order matters: RGB flip, mean-subtract, resize (on the mean-subtracted
+    floats — resize-then-subtract is NOT equivalent), /255
+    (reference dataflow.py:203-208).
+    """
+    im = bgr[:, :, ::-1].astype(np.float32)
+    im = im - _RGB_MEAN
+    im = cv2.resize(im, (size, size), interpolation=cv2.INTER_LINEAR)
+    return im / 255.0
+
+
+def preprocess_density(gray: np.ndarray, size: int | tuple[int, int] = 112) -> np.ndarray:
+    """Grayscale density map -> float32, resized, /255 (dataflow.py:210-215)."""
+    if isinstance(size, int):
+        size = (size, size)
+    im = cv2.resize(gray, size, interpolation=cv2.INTER_LINEAR)
+    return im.astype(np.float32) / 255.0
+
+
+def decode_clip(
+    clip: ClipPaths,
+    size: int = 112,
+    test_mode: bool = False,
+) -> tuple[np.ndarray, np.ndarray] | tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one clip: frames [T,H,W,3], densities [T,h,w] (+ fixations).
+
+    test_mode resizes densities to (960,1080) and loads fixations at native
+    resolution (reference mapf_test, dataflow.py:219-240).
+    """
+    _require_cv2()
+    frames = np.stack(
+        [preprocess_frame(cv2.imread(p, cv2.IMREAD_COLOR), size) for p in clip.frames]
+    )
+    dsize = (960, 1080) if test_mode else size
+    densities = np.stack(
+        [preprocess_density(cv2.imread(p, cv2.IMREAD_GRAYSCALE), dsize)
+         for p in clip.densities]
+    )
+    if not test_mode:
+        return frames, densities
+    fixations = np.stack(
+        [cv2.imread(p, cv2.IMREAD_GRAYSCALE).astype(np.float32) / 255.0
+         for p in clip.fixations]
+    )
+    return frames, densities, fixations
+
+
+class ClipLoader:
+    """Threaded, shuffling, batching clip loader with bounded prefetch.
+
+    Equivalent role to the reference's tensorpack pipeline (train.py:99-108):
+    per-epoch shuffle of the clip list, ``num_threads`` parallel decoders,
+    fixed-size batches with the remainder dropped, ``prefetch`` batches ready
+    ahead of the consumer.  The ZMQ process boundary is unnecessary: decoding
+    releases the GIL inside cv2, and the accelerator step runs on device.
+    """
+
+    def __init__(
+        self,
+        clips: Sequence[ClipPaths],
+        batch_size: int,
+        size: int = 112,
+        num_threads: int = 16,
+        prefetch: int = 4,
+        shuffle: bool = True,
+        epochs: int = 1,
+        seed: int = 0,
+        test_mode: bool = False,
+        decode_fn: Callable | None = None,
+    ):
+        self.clips = list(clips)
+        self.batch_size = batch_size
+        self.size = size
+        self.num_threads = num_threads
+        self.prefetch = max(1, prefetch)
+        self.shuffle = shuffle
+        self.epochs = epochs
+        self.seed = seed
+        self.test_mode = test_mode
+        self.decode_fn = decode_fn or (
+            lambda c: decode_clip(c, self.size, self.test_mode)
+        )
+
+    def __len__(self) -> int:
+        return (len(self.clips) // self.batch_size) * self.epochs
+
+    def _clip_stream(self) -> Iterator[ClipPaths]:
+        rng = random.Random(self.seed)
+        for _ in range(self.epochs):
+            order = list(self.clips)
+            if self.shuffle:
+                rng.shuffle(order)
+            yield from order
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, ...]]:
+        """Yields batches of stacked arrays, e.g. (frames [B,T,H,W,3], gts [B,T,H,W])."""
+        buf: queue.Queue = queue.Queue(maxsize=self.prefetch * self.batch_size)
+        sentinel = object()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_threads) as pool:
+                # Submit in order, consume in order: parallel decode with
+                # deterministic batch composition.
+                window: queue.Queue = queue.Queue()
+                stream = self._clip_stream()
+
+                def feed():
+                    for clip in stream:
+                        window.put(pool.submit(self.decode_fn, clip))
+                    window.put(None)
+
+                feeder = threading.Thread(target=feed, daemon=True)
+                feeder.start()
+                while True:
+                    fut = window.get()
+                    if fut is None:
+                        break
+                    buf.put(fut.result())
+            buf.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+
+        batch: list[tuple[np.ndarray, ...]] = []
+        while True:
+            item = buf.get()
+            if item is sentinel:
+                break  # drop remainder (BatchData(remainder=False))
+            batch.append(item)
+            if len(batch) == self.batch_size:
+                n_fields = len(batch[0])
+                yield tuple(
+                    np.stack([b[i] for b in batch]) for i in range(n_fields)
+                )
+                batch = []

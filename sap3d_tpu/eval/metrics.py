@@ -1,0 +1,215 @@
+"""Host-side NumPy saliency metrics, formula-identical to the reference.
+
+Parity target: reference utils/metrics.py (itself a port of the MIT saliency
+benchmark) and reference utils/metric_utils.py.  Each function operates on a
+single 2D map and resizes the prediction to the ground-truth shape on
+mismatch (bicubic, as the reference's skimage order=3 / MATLAB imresize).
+
+Performance: AUC_Judd's reference implementation is an O(n_fix * n_pixels)
+Python loop (reference utils/metrics.py:81-84); here the identical quantity is
+computed with one sort + searchsorted (O(n log n)), verified element-for-
+element against a direct transcription in tests.  AUC metrics stay on host
+(data-dependent thresholds don't map to XLA); CC/SIM/NSS/KL have vectorized
+on-device versions in eval/metrics_jax.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+def _resize_to(src: np.ndarray, shape: tuple[int, int]) -> np.ndarray:
+    """Bicubic resize to (rows, cols) — stand-in for skimage resize(order=3)."""
+    if src.shape == shape:
+        return src
+    return cv2.resize(
+        src.astype(np.float64), (shape[1], shape[0]), interpolation=cv2.INTER_CUBIC
+    )
+
+
+def normalize(x: np.ndarray, method: str = "standard") -> np.ndarray:
+    """standard / range / sum normalization (reference metric_utils.py:10-53)."""
+    x = np.asarray(x, dtype=np.float64)
+    if method == "standard":
+        return (x - np.mean(x)) / np.std(x)
+    if method == "range":
+        return (x - np.min(x)) / (np.max(x) - np.min(x))
+    if method == "sum":
+        return x / float(np.sum(x))
+    raise ValueError('method not in {"standard", "range", "sum"}')
+
+
+def AUC_Judd(
+    saliency_map: np.ndarray,
+    fixation_map: np.ndarray,
+    jitter: bool = True,
+    rng: np.random.Generator | None = None,
+) -> float:
+    """AUC with thresholds at the saliency values of each fixation.
+
+    Formula parity with reference utils/metrics.py:25-85; the tp/fp sweep is
+    vectorized but produces the same trapezoid (tests compare against a
+    direct loop transcription).  Returns NaN when the fixation map is empty.
+    """
+    s = np.asarray(saliency_map, dtype=np.float64)
+    f = np.asarray(fixation_map) > 0.5
+    if not np.any(f):
+        return float("nan")
+    if s.shape != f.shape:
+        s = _resize_to(s, f.shape)
+    if jitter:
+        r = rng or np.random.default_rng()
+        s = s + r.random(s.shape) * 1e-7
+
+    S = s.ravel()
+    F = f.ravel()
+    S_fix = S[F]
+    n_fix = S_fix.size
+    n_pixels = S.size
+
+    thresholds = np.sort(S_fix)[::-1]
+    # above_th[k] = #{S >= thresholds[k]} via one sort of S.
+    S_sorted = np.sort(S)
+    above = n_pixels - np.searchsorted(S_sorted, thresholds, side="left")
+    k = np.arange(1, n_fix + 1, dtype=np.float64)
+    tp = np.concatenate([[0.0], k / n_fix, [1.0]])
+    fp = np.concatenate([[0.0], (above - k) / (n_pixels - n_fix), [1.0]])
+    return float(np.trapezoid(tp, fp))
+
+
+def AUC_Borji(
+    saliency_map: np.ndarray,
+    fixation_map: np.ndarray,
+    n_rep: int = 100,
+    step_size: float = 0.1,
+    rand_sampler=None,
+    rng: np.random.Generator | None = None,
+) -> float:
+    """AUC against uniformly-sampled random locations (reference metrics.py:88-154)."""
+    s = np.asarray(saliency_map, dtype=np.float64)
+    f = np.asarray(fixation_map) > 0.5
+    if not np.any(f):
+        return float("nan")
+    if s.shape != f.shape:
+        s = _resize_to(s, f.shape)
+    s = normalize(s, "range")
+
+    S = s.ravel()
+    F = f.ravel()
+    S_fix = S[F]
+    n_fix = S_fix.size
+    n_pixels = S.size
+    r = rng or np.random.default_rng()
+    if rand_sampler is None:
+        idx = r.integers(0, n_pixels, size=(n_fix, n_rep))
+        S_rand = S[idx]
+    else:
+        S_rand = rand_sampler(S, F, n_rep, n_fix)
+
+    auc = np.full(n_rep, np.nan)
+    for rep in range(n_rep):
+        # thresholds = np.r_[0 : max : step][::-1] (reference metrics.py:145)
+        hi = float(np.max(np.concatenate([S_fix, S_rand[:, rep]])))
+        thresholds = np.arange(0.0, hi, step_size)[::-1]
+        tp = np.zeros(len(thresholds) + 2)
+        fp = np.zeros(len(thresholds) + 2)
+        tp[-1] = 1.0
+        fp[-1] = 1.0
+        tp[1:-1] = (S_fix[None, :] >= thresholds[:, None]).sum(1) / float(n_fix)
+        fp[1:-1] = (S_rand[None, :, rep] >= thresholds[:, None]).sum(1) / float(
+            n_fix
+        )
+        auc[rep] = np.trapezoid(tp, fp)
+    return float(np.mean(auc))
+
+
+def AUC_shuffled(
+    saliency_map: np.ndarray,
+    fixation_map: np.ndarray,
+    other_map: np.ndarray,
+    n_rep: int = 100,
+    step_size: float = 0.1,
+    rng: np.random.Generator | None = None,
+) -> float:
+    """Shuffled AUC: negatives sampled from fixations on OTHER images
+    (reference utils/metrics.py:157-197)."""
+    other = np.asarray(other_map) > 0.5
+    fix = np.asarray(fixation_map)
+    if other.shape != fix.shape:
+        raise ValueError("other_map.shape != fixation_map.shape")
+    r = rng or np.random.default_rng()
+
+    def sample_other(S, F, n_rep_, n_fix):
+        fixated = np.nonzero(other.ravel())[0]
+        rows = [r.permutation(len(fixated))[:n_fix] for _ in range(n_rep_)]
+        idx = fixated[np.stack(rows, axis=1)]  # [n_fix, n_rep]
+        return S[idx]
+
+    return AUC_Borji(saliency_map, fixation_map, n_rep, step_size, sample_other, rng=r)
+
+
+def NSS(saliency_map: np.ndarray, fixation_map: np.ndarray) -> float:
+    """Mean standardized saliency at fixations (reference metrics.py:200-224)."""
+    s = np.asarray(saliency_map, dtype=np.float64)
+    f = np.asarray(fixation_map) > 0.5
+    if s.shape != f.shape:
+        s = _resize_to(s, f.shape)
+    s = normalize(s, "standard")
+    return float(np.mean(s[f]))
+
+
+def CC(saliency_map1: np.ndarray, saliency_map2: np.ndarray) -> float:
+    """Pearson correlation of standardized maps (reference metrics.py:227-250)."""
+    m1 = np.asarray(saliency_map1, dtype=np.float64)
+    m2 = np.asarray(saliency_map2, dtype=np.float64)
+    if m1.shape != m2.shape:
+        m1 = _resize_to(m1, m2.shape)
+    m1 = normalize(m1, "standard")
+    m2 = normalize(m2, "standard")
+    return float(np.corrcoef(m1.ravel(), m2.ravel())[0, 1])
+
+
+def SIM(saliency_map1: np.ndarray, saliency_map2: np.ndarray) -> float:
+    """Histogram intersection of range+sum-normalized maps
+    (reference metrics.py:258-287)."""
+    m1 = np.asarray(saliency_map1, dtype=np.float64)
+    m2 = np.asarray(saliency_map2, dtype=np.float64)
+    if m1.shape != m2.shape:
+        m1 = _resize_to(m1, m2.shape)
+    m1 = normalize(normalize(m1, "range"), "sum")
+    m2 = normalize(normalize(m2, "range"), "sum")
+    return float(np.sum(np.minimum(m1, m2)))
+
+
+def KLdiv(saliency_map: np.ndarray, fixation_map: np.ndarray) -> float:
+    """KL divergence of sum-normalized maps (reference metrics.py:338-361).
+
+    The reference used the long-deprecated scipy.misc.imresize (uint8 PIL
+    path); here the prediction is bicubic-resized in float, then both maps are
+    sum-normalized with the same eps and formula.
+    """
+    m1 = np.asarray(saliency_map, dtype=np.float32)
+    m2 = np.asarray(fixation_map, dtype=np.float32)
+    if m1.shape != m2.shape:
+        # clip bicubic overshoot: the reference's uint8 imresize path could
+        # not produce negatives, and log() requires a non-negative density.
+        m1 = np.clip(_resize_to(m1, m2.shape), 0.0, None).astype(np.float32)
+    if m1.any():
+        m1 = m1 / m1.sum()
+    if m2.any():
+        m2 = m2 / m2.sum()
+    eps = np.float32(2.2204e-16)
+    return float(np.sum(m2 * np.log(eps + m2 / (m1 + eps))))
+
+
+def nan_filtered_mean(values) -> float:
+    """NaN-filtered mean, the reference's reporting reduction
+    (reference train.py:261-264, test.py:177-183)."""
+    arr = np.asarray(values, dtype=np.float64)
+    arr = arr[~np.isnan(arr)]
+    return float(np.mean(arr)) if arr.size else float("nan")

@@ -1,0 +1,225 @@
+"""Self-attention and non-local blocks over 3D (D,H,W) token grids.
+
+TPU-native re-implementation of the reference's SAGAN-style ``attention`` op
+(reference utils/network.py:157-196) and ``non_local`` block (reference
+utils/network.py:114-154).
+
+Semantics notes (see SURVEY.md section 2.2 for the full accounting):
+
+* The reference's live attention configurations are ``subsample=False`` and
+  ``subsample=True, sub_size=2``.  In the latter, keys/values (f, h) are
+  max-pooled by 2 while queries (g) are pooled by ``sub_size/2 == 1`` — i.e.
+  not pooled at all — and the trailing 1x1x1 conv has stride ``sub_size/2==1``.
+  We therefore implement the general, self-consistent rule: *keys/values are
+  pooled by sub_size, queries are never pooled, output conv stride is 1*.
+  This is bit-for-bit the reference behavior for both live configurations and
+  the natural extension for larger sub_size (the reference's own
+  ``sub_size=4`` path produces a shape mismatch and cannot run there either).
+
+* Softmax is over the key axis (reference utils/network.py:185), scores are
+  unscaled dot products, and the output is gated by a scalar ``gamma``
+  initialized to 0 so the block starts as the identity.
+
+* The non-local block divides scores by the key-token count instead of a
+  softmax (dot-product instantiation of Wang et al.), then applies a 1x1x1
+  conv + BN + ReLU and a residual add.  The reference's ``sub_sample=True``
+  path crashes (pool3d missing its size argument, reference
+  utils/network.py:125); here it pools keys/values by 2, the standard
+  non-local subsampling.
+
+For large query counts the score matrix is never materialized: queries are
+processed in chunks under ``jax.checkpoint`` so XLA keeps peak memory at one
+chunk of scores and rematerializes in the backward pass.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from sap3d_tpu.ops.layers import Norm, glorot, pool3d
+
+# Above this many query tokens, use the chunked (flash-style) path.
+_CHUNKED_THRESHOLD = 4096
+_QUERY_CHUNK = 4096
+
+
+def _dot_softmax_attend(
+    q: jax.Array, k: jax.Array, v: jax.Array, precision=None
+) -> jax.Array:
+    """softmax(q @ k^T) @ v for one batch of tokens; fp32 accumulation.
+
+    q: [B, Nq, ci], k: [B, Nk, ci], v: [B, Nk, C] -> [B, Nq, C]
+
+    ``precision`` follows jax.lax.Precision; the backend default (bf16-input
+    passes on the MXU with fp32 accumulation) is right for model compute —
+    pass HIGHEST only when verifying numerics.
+    """
+    scores = jnp.einsum(
+        "bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    beta = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bqk,bkc->bqc", beta.astype(v.dtype), v,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    return out.astype(v.dtype)
+
+
+def attend_tokens(
+    q: jax.Array, k: jax.Array, v: jax.Array, precision=None
+) -> jax.Array:
+    """Unscaled dot-product attention, chunking queries when Nq is large.
+
+    The chunked path never materializes the full [Nq, Nk] score matrix:
+    each chunk is computed under jax.checkpoint, bounding live memory to
+    [chunk, Nk] and rematerializing scores in the backward pass.
+    """
+    b, nq, _ = q.shape
+    if nq <= _CHUNKED_THRESHOLD:
+        return _dot_softmax_attend(q, k, v, precision)
+
+    chunk = _QUERY_CHUNK
+    pad = (-nq) % chunk
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    n_chunks = q.shape[1] // chunk
+    qs = q.reshape(b, n_chunks, chunk, q.shape[-1]).transpose(1, 0, 2, 3)
+
+    attend = jax.checkpoint(lambda qc: _dot_softmax_attend(qc, k, v, precision))
+    out = jax.lax.map(attend, qs)  # [n_chunks, B, chunk, C]
+    out = out.transpose(1, 0, 2, 3).reshape(b, n_chunks * chunk, v.shape[-1])
+    return out[:, :nq]
+
+
+def _flatten_tokens(x: jax.Array) -> jax.Array:
+    """[B, D, H, W, C] -> [B, D*H*W, C] (reference hw_flatten, network.py:195)."""
+    b = x.shape[0]
+    return x.reshape(b, -1, x.shape[-1])
+
+
+class SelfAttention3D(nn.Module):
+    """SAGAN-style global self-attention over D*H*W tokens.
+
+    Parity target: reference utils/network.py:157-193 (see module docstring
+    for the subsample-rule derivation).  f/g project to max(1, C//8) channels,
+    h to C; ``out = x + gamma * relu(norm(conv(softmax(g f^T) h)))``.
+    """
+
+    norm_mode: str = "bn"
+    subsample: bool = False
+    sub_size: int = 2
+    dtype: jnp.dtype | None = None
+    axis_name: str | None = None
+    # None = auto: use the fused Pallas kernel on TPU when shapes qualify.
+    use_pallas: bool | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        b, d, h_dim, w, c = x.shape
+        inter = max(1, c // 8)
+
+        def conv1(feat, name):
+            return nn.Conv(
+                feat, (1, 1, 1), padding="SAME", kernel_init=glorot(),
+                dtype=self.dtype, name=name,
+            )(x)
+
+        f = conv1(inter, "f")  # keys
+        g = conv1(inter, "g")  # queries
+        hv = conv1(c, "h")  # values
+        if self.subsample:
+            f = pool3d(f, self.sub_size)
+            hv = pool3d(hv, self.sub_size)
+
+        q_t, k_t, v_t = map(_flatten_tokens, (g, f, hv))
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            from sap3d_tpu.ops.pallas.flash_attention import (
+                flash_attention_viable,
+                on_tpu,
+            )
+
+            use_pallas = (
+                on_tpu()
+                and flash_attention_viable(
+                    q_t.shape[1], k_t.shape[1], q_t.shape[2], v_t.shape[2],
+                    itemsize=q_t.dtype.itemsize,
+                )
+            )
+        if use_pallas:
+            from sap3d_tpu.ops.pallas.flash_attention import flash_attend_tokens
+
+            o = flash_attend_tokens(q_t, k_t, v_t)
+        else:
+            o = attend_tokens(q_t, k_t, v_t)
+        o = o.reshape(b, d, h_dim, w, c)
+        o = nn.Conv(
+            c, (1, 1, 1), padding="SAME", kernel_init=glorot(),
+            dtype=self.dtype, name="out",
+        )(o)
+        o = Norm(self.norm_mode, dtype=self.dtype, axis_name=self.axis_name)(o, train)
+        o = nn.relu(o)
+        gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
+        return x + gamma.astype(x.dtype) * o
+
+
+class NonLocal3D(nn.Module):
+    """Dot-product non-local block (reference utils/network.py:114-154).
+
+    theta/phi/g project to C//2 channels; scores are divided by the key-token
+    count (no softmax); the output passes a 1x1x1 conv + BN + ReLU and is
+    added to the input.  ``sub_sample=True`` pools keys/values (phi, g) by 2.
+    Requires C >= 2.
+    """
+
+    norm_mode: str = "bn"
+    sub_sample: bool = True
+    dtype: jnp.dtype | None = None
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        b, d, h_dim, w, c = x.shape
+        if c < 2:
+            raise ValueError(
+                f"NonLocal3D needs >=2 channels, got {c} (the reference's "
+                "1-channel call site is dead code, see SURVEY.md section 2.2)"
+            )
+        inter = c // 2
+
+        def conv1(src, feat, name):
+            return nn.Conv(
+                feat, (1, 1, 1), padding="SAME", kernel_init=glorot(),
+                dtype=self.dtype, name=name,
+            )(src)
+
+        g_x = conv1(x, inter, "g")
+        theta = conv1(x, inter, "theta")
+        phi = conv1(x, inter, "phi")
+        if self.sub_sample:
+            g_x = pool3d(g_x, 2)
+            phi = pool3d(phi, 2)
+
+        q = _flatten_tokens(theta)  # [B, Nq, inter]
+        k = _flatten_tokens(phi)  # [B, Nk, inter]
+        v = _flatten_tokens(g_x)  # [B, Nk, inter]
+        scores = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
+        scores = scores / np.float32(k.shape[1])
+        y = jnp.einsum(
+            "bqk,bkc->bqc", scores.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        y = y.reshape(b, d, h_dim, w, inter)
+        y = nn.Conv(
+            c, (1, 1, 1), padding="SAME", kernel_init=glorot(),
+            dtype=self.dtype, name="w_y",
+        )(y)
+        # The reference normalizes W_y with BN regardless of the model's norm
+        # mode (reference utils/network.py:150 passes mode='bn').
+        y = Norm("bn", dtype=self.dtype, axis_name=self.axis_name)(y, train)
+        y = nn.relu(y)
+        return x + y

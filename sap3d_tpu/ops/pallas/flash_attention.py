@@ -1,0 +1,127 @@
+"""Pallas TPU kernel: fused softmax(q k^T) v for the self-attention op.
+
+Why a kernel: the SAGAN attention sites (ops/attention.py) have large query
+counts but moderate key counts after subsampling (Nk <= ~3.1k for 112x112
+clips).  The XLA path materializes the [Nq, Nk] score matrix in HBM between
+the two matmuls (39MB for the x_2_2 site, 2.5GB for the full-head x_0_1
+site); this kernel tiles queries into VMEM-resident blocks so scores never
+leave VMEM — the op becomes two back-to-back MXU matmuls per block with the
+softmax fused between them, eliminating the HBM round trip.
+
+Shape contract: q [B, Nq, d], k [B, Nk, d], v [B, Nk, C] -> [B, Nq, C].
+Whole k/v live in VMEM per batch program (checked against a VMEM budget by
+the caller/`flash_attention_viable`); queries are processed in BLOCK_Q rows
+per grid step.  Softmax is unscaled dot-product over the key axis, exactly
+matching ops/attention.py:_dot_softmax_attend (reference semantics
+utils/network.py:184-186).
+
+Backward: custom_vjp whose backward recomputes the attention with the
+XLA chunked path and differentiates through it (flash-style recompute — no
+residual score matrix is ever stored).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_Q = 256
+# Leave headroom under the ~16MB/core VMEM for double buffering.
+VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref):
+    # q_ref [1, BQ, d], k_ref [1, Nk, d], v_ref [1, Nk, C], o_ref [1, BQ, C]
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BQ, Nk]
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    b, nq, d = q.shape
+    _, nk, c = v.shape
+    pad = (-nq) % BLOCK_Q
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    nq_p = q.shape[1]
+    grid = (b, nq_p // BLOCK_Q)
+
+    out = pl.pallas_call(
+        _fwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, nq_p, c), v.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, d), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, c), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK_Q, c), lambda bi, qi: (bi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nq_p * nk * (d + c),
+            bytes_accessed=(q.size + k.size + v.size + b * nq_p * c) * 4,
+            transcendentals=b * nq_p * nk,
+        ),
+    )(q, k, v)
+    return out[:, :nq]
+
+
+def _xla_attend(q, k, v):
+    # Mirror of ops/attention.py's chunked XLA path, used for the backward
+    # recompute (kept local to avoid a circular import).
+    from sap3d_tpu.ops.attention import attend_tokens
+
+    return attend_tokens(q, k, v)
+
+
+@jax.custom_vjp
+def flash_attend_tokens(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Fused attention with Pallas forward + recompute backward."""
+    return _flash_forward(q, k, v)
+
+
+def _fwd_rule(q, k, v):
+    return _flash_forward(q, k, v), (q, k, v)
+
+
+def _bwd_rule(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_xla_attend, q, k, v)
+    return vjp(g)
+
+
+flash_attend_tokens.defvjp(_fwd_rule, _bwd_rule)
+
+
+def flash_attention_viable(
+    nq: int, nk: int, d: int, c: int, itemsize: int = 4
+) -> bool:
+    """Whole-k/v-in-VMEM check for the kernel's blocking scheme."""
+    need = (
+        nk * d * itemsize  # k
+        + nk * c * itemsize  # v
+        + BLOCK_Q * nk * 4  # scores in fp32
+        + BLOCK_Q * (d + c) * itemsize  # q block + o block
+    )
+    # 2x for pipeline double buffering of the q/o blocks (k/v are reused).
+    return need * 2 <= VMEM_BUDGET_BYTES and nq >= BLOCK_Q
+
+
+@functools.cache
+def on_tpu() -> bool:
+    return jax.default_backend() == "tpu"

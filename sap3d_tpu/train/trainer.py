@@ -1,0 +1,192 @@
+"""The training loop: data in, jitted steps, logging, validation, checkpoints.
+
+Equivalent of reference train.py:136-268 (and the GN trainer
+gn/train_p3d_gn_dataset.py), TPU-native:
+
+* batches stream from the host ClipLoader and are device_put with the batch
+  axis sharded over the data-parallel mesh (replacing feed_dict + ZMQ);
+* one jitted train step fuses forward/backward/Adam/BN updates, with the
+  state donated so parameters update in place in HBM;
+* the periodic side-dumps (pred/GT JPEG pairs, reference train.py:227-239),
+  scalar logging, validation metric pass (CC/SIM/AUC-Judd on the last frame
+  of each clip, NaN-filtered means, reference train.py:243-264) and
+  keep-last-K checkpointing are preserved;
+* validation CC/SIM run vectorized on device (eval/metrics_jax.py); AUC-Judd
+  stays on host.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import time
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sap3d_tpu.core import mesh as mesh_lib
+from sap3d_tpu.core.config import Config
+from sap3d_tpu.eval import metrics as host_metrics
+from sap3d_tpu.eval import metrics_jax
+from sap3d_tpu.models.registry import build_model, resolve_name
+from sap3d_tpu.train.checkpoint import CheckpointManager, try_restore_latest
+from sap3d_tpu.train.state import create_train_state
+from sap3d_tpu.train.steps import make_eval_step, make_train_step
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+def run_name(cfg: Config) -> str:
+    """dataset_structure_batch_lr_info_date (reference train.py:127)."""
+    t = datetime.date.today().isoformat()
+    return (
+        f"{cfg.model.name}_{cfg.train.batch_size}_{cfg.train.lr}_"
+        f"{cfg.train.info}_{t}"
+    )
+
+
+class Trainer:
+    def __init__(self, cfg: Config, run: str | None = None):
+        self.cfg = cfg
+        self.run = run or run_name(cfg)
+        self.model_dir = os.path.join(cfg.train.model_dir, self.run)
+        self.logs_dir = os.path.join(cfg.train.logs_dir, self.run)
+        os.makedirs(self.model_dir, exist_ok=True)
+        os.makedirs(self.logs_dir, exist_ok=True)
+
+        if cfg.train.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+
+        self.mesh = mesh_lib.make_mesh(cfg.train.num_devices)
+        self.model = build_model(
+            resolve_name(cfg.model.name),
+            dtype=cfg.model.dtype,
+            dropout_rate=cfg.model.dropout,
+            axis_name=mesh_lib.DATA_AXIS if cfg.train.sync_bn else None,
+        )
+        b = cfg.train.batch_size
+        t, s = cfg.data.video_length, cfg.data.image_size
+        self.state = create_train_state(
+            self.model,
+            jax.random.PRNGKey(cfg.train.seed),
+            input_shape=(b, t, s, s, 3),
+            lr=cfg.train.lr,
+        )
+        self.train_step = make_train_step(self.model, mesh=self.mesh)
+        self.eval_step = make_eval_step(self.model, mesh=self.mesh)
+        self.ckpt = CheckpointManager(self.model_dir, cfg.train.max_to_keep)
+        self._metrics_log = open(
+            os.path.join(self.logs_dir, "metrics.jsonl"), "a"
+        )
+
+        if cfg.train.pretrain:
+            pre_dir = os.path.join(cfg.train.model_dir, cfg.train.pretrain)
+            self.state, ok = try_restore_latest(self.state, pre_dir)
+            print(f"pretrain restore from {pre_dir}: {'ok' if ok else 'MISSING'}")
+
+    # -- logging helpers ---------------------------------------------------
+
+    def _log(self, record: dict) -> None:
+        record["time"] = datetime.datetime.now().isoformat(timespec="seconds")
+        self._metrics_log.write(json.dumps(record) + "\n")
+        self._metrics_log.flush()
+
+    def _dump_images(self, step: int, pred_last: np.ndarray, gt_last: np.ndarray):
+        """pred/GT last-frame JPEG pairs (reference train.py:227-239)."""
+        if cv2 is None:
+            return
+        d = os.path.join(self.logs_dir, "smap_Result")
+        os.makedirs(d, exist_ok=True)
+        to_u8 = lambda m: np.clip(m * 255.0, 0, 255).astype(np.uint8)  # noqa: E731
+        cv2.imwrite(os.path.join(d, f"step_{step}_pred.jpg"), to_u8(pred_last))
+        cv2.imwrite(os.path.join(d, f"step_{step}_gt.jpg"), to_u8(gt_last))
+
+    # -- main loop ---------------------------------------------------------
+
+    def fit(self, train_batches: Iterable, valid_batches_fn=None) -> None:
+        cfg = self.cfg.train
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        step = int(self.state.step)
+        t_last, n_last = time.time(), 0
+        profiling = False
+        for frames, targets in train_batches:
+            step += 1
+            if cfg.profile_dir and step == cfg.profile_start:
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
+            if profiling and step == cfg.profile_start + cfg.profile_steps:
+                jax.block_until_ready(self.state.params)
+                jax.profiler.stop_trace()
+                profiling = False
+            rng, drop_rng = jax.random.split(rng)
+            f, t = mesh_lib.shard_batch(
+                self.mesh, (jnp.asarray(frames), jnp.asarray(targets))
+            )
+            self.state, loss = self.train_step(self.state, f, t, drop_rng)
+            n_last += frames.shape[0]
+
+            if step < 10 or step % self.cfg.train.plot_iter == 0:
+                loss_v = float(loss)
+                dt = time.time() - t_last
+                cps = n_last / dt if dt > 0 else 0.0
+                pred = np.asarray(self.eval_step(self.state, f))
+                self._dump_images(step, pred[0, -1], np.asarray(targets)[0, -1])
+                print(
+                    f"[{datetime.datetime.now().isoformat(timespec='seconds')}] "
+                    f"step {step} loss {loss_v:.4f} clips/s {cps:.2f}"
+                )
+                self._log({"step": step, "loss": loss_v, "clips_per_sec": cps})
+                t_last, n_last = time.time(), 0
+
+            if valid_batches_fn is not None and step % cfg.valid_iter == 0:
+                self.validate(step, valid_batches_fn())
+                # 4-pane curve figure (GN trainer parity, reference
+                # gn/train_p3d_gn_dataset.py:294-310).
+                from sap3d_tpu.train.plotting import plot_curves
+
+                plot_curves(self.logs_dir)
+
+            if step % cfg.save_iter == 0:
+                self.ckpt.save(self.state, step)
+        if profiling:
+            jax.block_until_ready(self.state.params)
+            jax.profiler.stop_trace()
+        self.ckpt.save(self.state, step)
+        print("Training Finished!")
+
+    def validate(self, step: int, valid_batches: Iterable) -> dict:
+        """CC/SIM on device + AUC-Judd on host, last frame per clip,
+        NaN-filtered means (reference train.py:243-264)."""
+        ccs, sims, aucs = [], [], []
+        for frames, targets in valid_batches:
+            f = mesh_lib.shard_batch(self.mesh, jnp.asarray(frames))
+            pred = self.eval_step(self.state, f)
+            pred_last = pred[:, -1]  # [B, H, W]
+            gt_last = jnp.asarray(targets)[:, -1]
+            ccs += list(np.asarray(metrics_jax.cc(pred_last, gt_last)))
+            sims += list(np.asarray(metrics_jax.sim(pred_last, gt_last)))
+            pl, gl = np.asarray(pred_last), np.asarray(targets)[:, -1]
+            for i in range(pl.shape[0]):
+                aucs.append(host_metrics.AUC_Judd(pl[i], gl[i]))
+        result = {
+            "step": step,
+            "cc": host_metrics.nan_filtered_mean(ccs),
+            "sim": host_metrics.nan_filtered_mean(sims),
+            "auc_judd": host_metrics.nan_filtered_mean(aucs),
+        }
+        print(
+            f"[valid] step {step} CC {result['cc']:.4f} SIM {result['sim']:.4f} "
+            f"AUC_Judd {result['auc_judd']:.4f}"
+        )
+        self._log(result)
+        return result
+
+    def close(self):
+        self.ckpt.close()
+        self._metrics_log.close()

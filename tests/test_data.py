@@ -1,0 +1,124 @@
+"""Data pipeline tests over a synthetic on-disk frame tree."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sap3d_tpu.data.indexer import ClipIndex
+from sap3d_tpu.data.pipeline import ClipLoader, decode_clip, preprocess_frame
+from sap3d_tpu.data.synthetic import make_synthetic_dataset
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    roots = make_synthetic_dataset(
+        str(root), num_videos=3, frames_per_video=40, with_fixations=True
+    )
+    return roots
+
+
+def _index(roots, **kw):
+    idx = ClipIndex(
+        [roots["frame_dirs"]], [roots["density_dirs"]],
+        fixation_dir=roots.get("fixation_dir"),
+    )
+    idx.setup(**kw)
+    return idx
+
+
+def test_clip_count_formula(dataset):
+    """Clip starts: range(skip_head, total, L - overlap) with full-fit check
+    (reference dataflow.py:44-52)."""
+    idx = _index(dataset, overlap=15, training_props=0.9, skip_head=11)
+    # per video: starts 11..(40-16)=24 step 1 -> 14 clips; 3 videos
+    assert len(idx.tuples) == 3 * 14
+    assert len(idx.train_tuples) == int(42 * 0.9)
+    assert len(idx.valid_tuples) == 42 - int(42 * 0.9)
+
+
+def test_clip_count_no_overlap(dataset):
+    idx = _index(dataset, overlap=0, training_props=0.5, skip_head=11)
+    # starts at 11 only (11+16=27<=40, 27+16=43>40) -> 1 clip per video
+    assert len(idx.tuples) == 3
+
+
+def test_materialized_paths_exist(dataset):
+    idx = _index(dataset, overlap=15, training_props=0.9)
+    clips = idx.train_clips()
+    clip = clips[0]
+    assert len(clip.frames) == 16 and len(clip.densities) == 16
+    for p in clip.frames + clip.densities:
+        assert os.path.exists(p), p
+    # 1-based filenames (reference dataflow.py:96-97)
+    first = os.path.basename(clip.frames[0])
+    assert first == f"frame_{clip.start_frame + 1}.jpg"
+
+
+def test_fixation_paths(dataset):
+    idx = _index(dataset, overlap=15, training_props=0.0)
+    clips = idx.valid_clips(with_fixations=True)
+    assert clips and len(clips[0].fixations) == 16
+    assert clips[0].fixations[0].endswith(".bmp")
+    assert os.path.exists(clips[0].fixations[0])
+
+
+def test_preprocess_order_parity():
+    """RGB flip -> float mean-subtract -> resize -> /255 (reference
+    dataflow.py:203-208).  Crucially the subtraction happens on floats BEFORE
+    any resize, so no uint8 saturation can occur (the reference's cv2 path
+    subtracts from a float-promoted array too)."""
+    rng = np.random.default_rng(0)
+    bgr = rng.integers(0, 255, size=(30, 40, 3), dtype=np.uint8)
+    got = preprocess_frame(bgr, size=16)
+
+    rgb = bgr[:, :, ::-1].astype(np.float32)
+    expected = cv2.resize(rgb - np.array([90.0, 102.0, 98.0], np.float32),
+                          (16, 16)) / 255.0
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+    # channel order check: swapping the mean across channels must NOT match
+    wrong = cv2.resize(rgb - np.array([98.0, 102.0, 90.0], np.float32),
+                       (16, 16)) / 255.0
+    assert not np.allclose(got, wrong, atol=1e-4)
+
+
+def test_decode_clip_shapes(dataset):
+    idx = _index(dataset, overlap=15, training_props=0.9)
+    frames, densities = decode_clip(idx.train_clips()[0], size=32)
+    assert frames.shape == (16, 32, 32, 3) and frames.dtype == np.float32
+    assert densities.shape == (16, 32, 32)
+    assert densities.min() >= 0 and densities.max() <= 1.0
+
+
+def test_decode_clip_test_mode(dataset):
+    idx = _index(dataset, overlap=15, training_props=0.0)
+    clip = idx.valid_clips(with_fixations=True)[0]
+    frames, densities, fixations = decode_clip(clip, size=32, test_mode=True)
+    assert densities.shape == (16, 1080, 960)  # reference dataflow.py:233
+    assert fixations.shape == (16, 48, 64)  # native resolution
+
+
+def test_loader_batches(dataset):
+    idx = _index(dataset, overlap=15, training_props=0.9)
+    loader = ClipLoader(
+        idx.train_clips(), batch_size=2, size=32, num_threads=4, epochs=1
+    )
+    batches = list(loader)
+    assert len(batches) == len(idx.train_tuples) // 2  # remainder dropped
+    fr, de = batches[0]
+    assert fr.shape == (2, 16, 32, 32, 3)
+    assert de.shape == (2, 16, 32, 32)
+
+
+def test_loader_epochs_and_shuffle_determinism(dataset):
+    idx = _index(dataset, overlap=15, training_props=0.9)
+    clips = idx.train_clips()[:4]
+    l1 = ClipLoader(clips, 2, size=16, num_threads=2, epochs=2, seed=7)
+    l2 = ClipLoader(clips, 2, size=16, num_threads=2, epochs=2, seed=7)
+    b1 = [b[0].sum() for b in l1]
+    b2 = [b[0].sum() for b in l2]
+    assert len(b1) == 4  # 2 batches/epoch * 2 epochs
+    np.testing.assert_allclose(b1, b2)

@@ -1,0 +1,116 @@
+"""Model-family tests: shapes for all 12 variants, numerics for representatives.
+
+All-variant coverage uses jax.eval_shape (no compilation); a few
+representative variants are actually executed.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sap3d_tpu.models.registry import (
+    LINEAR_OUTPUT,
+    MODEL_REGISTRY,
+    STRUCTURE_ALIASES,
+    build_model,
+    resolve_name,
+)
+
+TINY = (1, 16, 16, 16, 3)  # divisible-by-16 spatial dims keep skips aligned
+
+
+def _init_shapes(name, shape=TINY):
+    m = build_model(name)
+    x = jax.ShapeDtypeStruct(shape, jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = jax.eval_shape(lambda xx: m.init(rngs, xx, train=False), x)
+    out = jax.eval_shape(
+        lambda v, xx: m.apply(v, xx, train=False), variables, x
+    )
+    return m, variables, out
+
+
+@pytest.mark.parametrize("name", sorted(MODEL_REGISTRY))
+def test_all_variants_shapes(name):
+    """Every variant maps [B,T,H,W,3] -> [B,T,H,W,1] (reference parity)."""
+    _, variables, out = _init_shapes(name)
+    assert out.shape == (1, 16, 16, 16, 1)
+    assert out.dtype == jnp.float32
+    if MODEL_REGISTRY[name].get("norm_mode") == "bn":
+        assert "batch_stats" in variables
+
+
+@pytest.mark.parametrize("name", sorted(MODEL_REGISTRY))
+def test_variant_has_47_bottlenecks(name):
+    """3 + 8 + 36 bottlenecks in every encoder (reference p3d.py:290-303)."""
+    _, variables, _ = _init_shapes(name)
+    enc = variables["params"]["encoder"]
+    blocks = [k for k in enc.keys() if "block" in k]
+    assert len(blocks) == 47
+
+
+def test_flagship_param_count():
+    """p3d_unetplusplus_ds parameter count is stable (~84.9M, established at
+    build time against the reference architecture)."""
+    _, variables, _ = _init_shapes("p3d_unetplusplus_ds")
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+    assert 84_000_000 < n < 86_000_000
+
+
+def test_gn_family_has_no_batch_stats():
+    _, variables, _ = _init_shapes("inference_p3d_decoder_block")
+    assert "batch_stats" not in variables or not jax.tree.leaves(
+        variables["batch_stats"]
+    )
+
+
+def test_aliases_resolve():
+    for alias in STRUCTURE_ALIASES:
+        assert resolve_name(alias) in MODEL_REGISTRY
+    with pytest.raises(KeyError):
+        resolve_name("nope")
+
+
+def test_st_types_cycle_abc():
+    """Block n_s uses ST type A/B/C by n_s % 3 (reference p3d.py:38-42):
+    verify via the C-block's structural signature (conv_t consumes conv_s
+    output, same channel count) by checking param tree names exist."""
+    _, variables, _ = _init_shapes("p3d_unet")
+    enc = variables["params"]["encoder"]
+    # stage1 blocks 0..2 are global blocks 0,1,2 -> A,B,C; all have conv_s/conv_t
+    for b in range(3):
+        blk = enc[f"stage1_block{b}"]
+        assert "conv_s" in blk and "conv_t" in blk
+
+
+@pytest.mark.parametrize(
+    "name", ["p3d_unetplusplus_ds", "inference_p3d_sa_decoder_block"]
+)
+def test_forward_executes(name):
+    """Actually run two representatives (one BN+SA, one GN+CBAM+SA)."""
+    m = build_model(name)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=TINY).astype(np.float32)
+    )
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = jax.jit(lambda: m.init(rngs, x, train=False))()
+    out = jax.jit(lambda v: m.apply(v, x, train=False))(variables)
+    out = np.asarray(out)
+    assert out.shape == (1, 16, 16, 16, 1)
+    assert np.all(np.isfinite(out))
+    if name not in LINEAR_OUTPUT:
+        assert out.min() >= 0.0 and out.max() <= 1.0  # sigmoid head
+
+
+def test_bfloat16_forward():
+    """Mixed precision: bf16 compute, fp32 params, fp32 output."""
+    m = build_model("p3d_unetplusplus_ds", dtype="bfloat16")
+    x = jnp.ones(TINY, jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = jax.jit(lambda: m.init(rngs, x, train=False))()
+    p = jax.tree.leaves(variables["params"])[0]
+    assert p.dtype == jnp.float32
+    out = jax.jit(lambda v: m.apply(v, x, train=False))(variables)
+    assert out.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(out)))

@@ -1,0 +1,74 @@
+"""Pallas flash-attention kernel tests (interpret mode on CPU).
+
+On CPU the kernel runs through the Pallas interpreter
+(pltpu.force_tpu_interpret_mode) — same program, emulated; the real Mosaic
+compile path is exercised by bench.py on TPU hardware.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from sap3d_tpu.ops.attention import _dot_softmax_attend
+from sap3d_tpu.ops.pallas.flash_attention import (
+    _flash_forward,
+    flash_attend_tokens,
+    flash_attention_viable,
+)
+
+
+def _ref(q, k, v):
+    return _dot_softmax_attend(q, k, v, jax.lax.Precision.HIGHEST)
+
+
+@pytest.mark.parametrize(
+    "b,nq,nk,d,c",
+    [
+        (1, 256, 64, 8, 16),     # exact block multiple
+        (2, 300, 49, 4, 32),     # ragged nq (padding path)
+        (1, 512, 100, 2, 8),     # tiny head dim (x_0_1-like)
+    ],
+)
+def test_flash_forward_matches_reference(b, nq, nk, d, c):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, nq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, nk, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, nk, c)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = _flash_forward(q, k, v)
+    want = _ref(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_flash_backward_matches_reference():
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(1, 256, 4)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 32, 4)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 32, 8)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(flash_attend_tokens(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref(q, k, v) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_flash, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=2e-2, atol=1e-4
+        )
+
+
+def test_viability_heuristic():
+    # x_2_2 site bf16: Nq=Nk=3136, d=32, C=256 — should qualify
+    assert flash_attention_viable(3136, 3136, 32, 256, itemsize=2)
+    # x_4_0 site: Nq=49 < one block — not worth a kernel launch
+    assert not flash_attention_viable(49, 49, 128, 1024)
+    # absurd C blows the VMEM budget
+    assert not flash_attention_viable(100000, 50000, 128, 4096)

@@ -1,0 +1,110 @@
+"""Training-step tests: loss decreases, BN stats update, eval determinism.
+
+Uses a micro P3D (1 bottleneck per stage) so CPU compiles stay fast while
+exercising the full architecture: projection blocks, A/B/C sub-structures,
+attention, BN state threading, dropout rng, Adam update.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sap3d_tpu.models.p3d import P3DSaliency
+from sap3d_tpu.train.state import create_train_state
+from sap3d_tpu.train.steps import make_eval_step, make_train_step
+
+MICRO_STAGES = ((8, 1), (16, 1), (32, 1))
+SHAPE = (2, 16, 16, 16, 3)
+
+
+def micro_model(**kw):
+    defaults = dict(
+        decoder="unetpp",
+        decoder_kwargs=dict(attention="sa", head="ds"),
+        norm_mode="bn",
+        stages=MICRO_STAGES,
+        stem_features=8,
+    )
+    defaults.update(kw)
+    return P3DSaliency(**defaults)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    frames = rng.normal(size=SHAPE).astype(np.float32) * 0.3
+    # learnable target: bright blob where the red channel is large
+    targets = (frames[..., 2] > 0.2).astype(np.float32)
+    return jnp.asarray(frames), jnp.asarray(targets)
+
+
+def test_loss_decreases(batch):
+    frames, targets = batch
+    model = micro_model()
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), input_shape=SHAPE, lr=1e-3
+    )
+    step = make_train_step(model, donate=False)
+    losses = []
+    for i in range(8):
+        state, loss = step(state, frames, targets, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_bn_stats_change(batch):
+    frames, targets = batch
+    model = micro_model()
+    state = create_train_state(model, jax.random.PRNGKey(0), input_shape=SHAPE)
+    before = jax.tree.map(lambda x: x.copy(), state.batch_stats)
+    step = make_train_step(model, donate=False)
+    state, _ = step(state, frames, targets, jax.random.PRNGKey(0))
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), before, state.batch_stats
+    )
+    assert max(jax.tree.leaves(diffs)) > 0
+
+
+def test_eval_step_deterministic(batch):
+    frames, _ = batch
+    model = micro_model()
+    state = create_train_state(model, jax.random.PRNGKey(0), input_shape=SHAPE)
+    ev = make_eval_step(model)
+    p1 = np.asarray(ev(state, frames))
+    p2 = np.asarray(ev(state, frames))
+    np.testing.assert_array_equal(p1, p2)
+    assert p1.shape == (2, 16, 16, 16)
+    assert p1.min() >= 0 and p1.max() <= 1  # sigmoid head
+
+
+def test_gn_model_trains(batch):
+    """GN+CBAM family: no batch_stats, weight decay on."""
+    frames, targets = batch
+    model = micro_model(
+        decoder="gn_decoder_block", decoder_kwargs=dict(use_sa=True),
+        norm_mode="gn", backbone_cbam=True,
+    )
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), input_shape=SHAPE, lr=1e-3,
+        weight_decay=5e-4,
+    )
+    assert not jax.tree.leaves(state.batch_stats)
+    step = make_train_step(model, donate=False)
+    l0 = None
+    for i in range(6):
+        state, loss = step(state, frames, targets, jax.random.PRNGKey(i))
+        l0 = l0 or float(loss)
+    assert float(loss) < l0
+
+
+def test_dropout_uses_rng(batch):
+    """Different dropout rngs must give different training losses."""
+    frames, targets = batch
+    model = micro_model()
+    state = create_train_state(model, jax.random.PRNGKey(0), input_shape=SHAPE)
+    step = make_train_step(model, donate=False)
+    _, l1 = step(state, frames, targets, jax.random.PRNGKey(1))
+    _, l2 = step(state, frames, targets, jax.random.PRNGKey(2))
+    assert float(l1) != float(l2)
