@@ -258,12 +258,34 @@ def cmd_eval_dirs(argv) -> int:
     return 0
 
 
+def cmd_inspect(argv) -> int:
+    """Checkpoint variable inspector (reference utils/test_model.py parity)."""
+    from sap3d_tpu.train.inspect_ckpt import main as inspect_main
+
+    return inspect_main(argv)
+
+
+def cmd_plot(argv) -> int:
+    """Regenerate the 4-pane training-curve figure from a run's logs."""
+    p = argparse.ArgumentParser(prog="sap3d plot")
+    p.add_argument("logs_dir", type=str)
+    p.add_argument("--out", type=str, default=None)
+    args = p.parse_args(argv)
+    from sap3d_tpu.train.plotting import plot_curves
+
+    out = plot_curves(args.logs_dir, args.out)
+    print(out or "matplotlib unavailable")
+    return 0
+
+
 COMMANDS = {
     "train": cmd_train,
     "eval": cmd_eval,
     "predict": cmd_predict,
     "make-video": cmd_make_video,
     "eval-dirs": cmd_eval_dirs,
+    "inspect": cmd_inspect,
+    "plot": cmd_plot,
 }
 
 
