@@ -117,6 +117,7 @@ def cmd_train(argv) -> int:
     train_loader = ClipLoader(
         idx.train_clips(), cfg.train.batch_size, size=cfg.data.image_size,
         num_threads=cfg.data.num_threads, epochs=cfg.train.epochs,
+        cache_frames=cfg.data.cache_frames,
     )
     valid_fn = lambda: ClipLoader(  # noqa: E731
         idx.valid_clips(), cfg.train.batch_size, size=cfg.data.image_size,

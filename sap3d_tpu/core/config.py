@@ -73,6 +73,10 @@ class DataConfig:
     num_threads: int = 16
     # Batches buffered ahead of the device (reference PrefetchDataZMQ analogue).
     prefetch: int = 4
+    # LRU capacity (in frames) of the decoded-frame cache.  With overlap=15
+    # indexing every JPEG is referenced ~16x per epoch; caching the
+    # preprocessed floats removes the redundant decodes (~150KB/frame at 112).
+    cache_frames: int = 8192
     shuffle_seed: int = 0
     # frame filename patterns (reference dataflow.py:72-74).
     frame_wildcard: str = "frame_%d.jpg"

@@ -41,6 +41,42 @@ def _require_cv2():
         raise ImportError("cv2 is required for JPEG decoding")
 
 
+class FrameCache:
+    """Thread-safe LRU cache of decoded+preprocessed frames.
+
+    With the reference's default overlap=15 indexing, consecutive clips share
+    15 of their 16 frames, so the raw pipeline decodes every JPEG ~16 times
+    (SURVEY.md section 7 "hard parts").  Caching the preprocessed float
+    frames turns that into ~1 decode per frame per epoch.  A 112x112x3
+    float32 frame is ~150KB; capacity is in frames.
+    """
+
+    def __init__(self, capacity: int):
+        from collections import OrderedDict
+
+        self.capacity = capacity
+        self._data: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+        self._lock = threading.Lock()
+        self.hits = 0
+        self.misses = 0
+
+    def get_or_decode(self, key: tuple, decode) -> np.ndarray:
+        with self._lock:
+            if key in self._data:
+                self._data.move_to_end(key)
+                self.hits += 1
+                return self._data[key]
+        value = decode()  # decode outside the lock (cv2 releases the GIL)
+        value.flags.writeable = False
+        with self._lock:
+            self.misses += 1
+            self._data[key] = value
+            self._data.move_to_end(key)
+            while len(self._data) > self.capacity:
+                self._data.popitem(last=False)
+        return value
+
+
 def preprocess_frame(bgr: np.ndarray, size: int = 112) -> np.ndarray:
     """BGR uint8 frame -> float32 [size,size,3] with reference semantics.
 
@@ -66,6 +102,7 @@ def decode_clip(
     clip: ClipPaths,
     size: int = 112,
     test_mode: bool = False,
+    cache: FrameCache | None = None,
 ) -> tuple[np.ndarray, np.ndarray] | tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode one clip: frames [T,H,W,3], densities [T,h,w] (+ fixations).
 
@@ -73,14 +110,20 @@ def decode_clip(
     resolution (reference mapf_test, dataflow.py:219-240).
     """
     _require_cv2()
-    frames = np.stack(
-        [preprocess_frame(cv2.imread(p, cv2.IMREAD_COLOR), size) for p in clip.frames]
-    )
+
+    def frame(p):
+        dec = lambda: preprocess_frame(cv2.imread(p, cv2.IMREAD_COLOR), size)  # noqa: E731
+        return cache.get_or_decode(("f", p, size), dec) if cache else dec()
+
     dsize = (960, 1080) if test_mode else size
-    densities = np.stack(
-        [preprocess_density(cv2.imread(p, cv2.IMREAD_GRAYSCALE), dsize)
-         for p in clip.densities]
-    )
+
+    def density(p):
+        dec = lambda: preprocess_density(  # noqa: E731
+            cv2.imread(p, cv2.IMREAD_GRAYSCALE), dsize)
+        return cache.get_or_decode(("d", p, dsize), dec) if cache else dec()
+
+    frames = np.stack([frame(p) for p in clip.frames])
+    densities = np.stack([density(p) for p in clip.densities])
     if not test_mode:
         return frames, densities
     fixations = np.stack(
@@ -112,6 +155,7 @@ class ClipLoader:
         seed: int = 0,
         test_mode: bool = False,
         decode_fn: Callable | None = None,
+        cache_frames: int = 0,
     ):
         self.clips = list(clips)
         self.batch_size = batch_size
@@ -122,8 +166,9 @@ class ClipLoader:
         self.epochs = epochs
         self.seed = seed
         self.test_mode = test_mode
+        self.cache = FrameCache(cache_frames) if cache_frames > 0 else None
         self.decode_fn = decode_fn or (
-            lambda c: decode_clip(c, self.size, self.test_mode)
+            lambda c: decode_clip(c, self.size, self.test_mode, self.cache)
         )
 
     def __len__(self) -> int:

@@ -138,13 +138,16 @@ class SelfAttention3D(nn.Module):
         q_t, k_t, v_t = map(_flatten_tokens, (g, f, hv))
         use_pallas = self.use_pallas
         if use_pallas is None:
+            import os
+
             from sap3d_tpu.ops.pallas.flash_attention import (
                 flash_attention_viable,
                 on_tpu,
             )
 
             use_pallas = (
-                on_tpu()
+                os.environ.get("SAP3D_DISABLE_PALLAS") != "1"
+                and on_tpu()
                 and flash_attention_viable(
                     q_t.shape[1], k_t.shape[1], q_t.shape[2], v_t.shape[2],
                     itemsize=q_t.dtype.itemsize,

@@ -124,4 +124,10 @@ def flash_attention_viable(
 
 @functools.cache
 def on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
+    # Check the device platform, not the backend name: TPU-via-plugin
+    # backends (e.g. this environment's tunneled "axon" backend) report a
+    # custom backend name but their devices are platform "tpu".
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False

@@ -122,3 +122,40 @@ def test_loader_epochs_and_shuffle_determinism(dataset):
     b2 = [b[0].sum() for b in l2]
     assert len(b1) == 4  # 2 batches/epoch * 2 epochs
     np.testing.assert_allclose(b1, b2)
+
+
+def test_frame_cache_hits_and_equivalence(dataset):
+    """Cached loader produces identical batches and actually hits the cache
+    (overlap=15 -> ~16x frame reuse)."""
+    idx = _index(dataset, overlap=15, training_props=0.9)
+    clips = idx.train_clips()[:8]
+    plain = ClipLoader(clips, 2, size=16, num_threads=2, shuffle=False)
+    cached = ClipLoader(clips, 2, size=16, num_threads=2, shuffle=False,
+                        cache_frames=4096)
+    for (f1, d1), (f2, d2) in zip(plain, cached):
+        np.testing.assert_array_equal(f1, f2)
+        np.testing.assert_array_equal(d1, d2)
+    # overlapping clips reuse frames (shuffled clip order, so not strictly
+    # majority hits; concurrent decodes can also double-miss)
+    assert cached.cache.hits > 50
+
+
+def test_frame_cache_eviction():
+    from sap3d_tpu.data.pipeline import FrameCache
+
+    cache = FrameCache(capacity=2)
+    calls = []
+
+    def make(v):
+        def dec():
+            calls.append(v)
+            return np.full((2, 2), v, np.float32)
+        return dec
+
+    a = cache.get_or_decode(("a",), make(1.0))
+    cache.get_or_decode(("b",), make(2.0))
+    cache.get_or_decode(("a",), make(1.0))  # hit
+    cache.get_or_decode(("c",), make(3.0))  # evicts b
+    cache.get_or_decode(("b",), make(2.0))  # miss again
+    assert calls == [1.0, 2.0, 3.0, 2.0]
+    assert not a.flags.writeable
