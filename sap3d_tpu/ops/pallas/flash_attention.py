@@ -81,17 +81,101 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     return out[:, :nq]
 
 
-def _xla_attend(q, k, v):
-    # Mirror of ops/attention.py's chunked XLA path, used for the backward
-    # recompute (kept local to avoid a circular import).
-    from sap3d_tpu.ops.attention import attend_tokens
+# Backward uses smaller query blocks: three [BQ, Nk] fp32 intermediates plus
+# fp32 dk/dv accumulators must fit VMEM together.
+BLOCK_Q_BWD = 128
 
-    return attend_tokens(q, k, v)
+
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
+    """Recompute-p backward for one query block; dk/dv accumulate across the
+    sequential qi grid axis (their output block is qi-invariant, so Pallas
+    keeps it resident in VMEM for the whole b-row of the grid)."""
+    qi = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p = jax.nn.softmax(s, axis=-1)  # [BQ, Nk] f32
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BQ, Nk]
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # softmax vjp
+
+    dq_ref[0] = jnp.dot(
+        ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dv_ref[0] += jax.lax.dot_general(
+        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _flash_backward(q, k, v, do):
+    b, nq, d = q.shape
+    _, nk, c = v.shape
+    pad = (-nq) % BLOCK_Q_BWD
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+        do = jnp.pad(do, ((0, 0), (0, pad), (0, 0)))
+    nq_p = q.shape[1]
+    grid = (b, nq_p // BLOCK_Q_BWD)
+
+    dq, dk, dv = pl.pallas_call(
+        _bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, nq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b, nk, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, nk, c), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q_BWD, d), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, c), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q_BWD, c), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, BLOCK_Q_BWD, d), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, c), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * nq_p * nk * (d + c) // 2,
+            bytes_accessed=(2 * q.size + k.size + 2 * v.size) * 4,
+            transcendentals=b * nq_p * nk,
+        ),
+    )(q, k, v, do)
+    return dq[:, :nq], dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 @jax.custom_vjp
 def flash_attend_tokens(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """Fused attention with Pallas forward + recompute backward."""
+    """Fused attention: Pallas forward + Pallas recompute backward."""
     return _flash_forward(q, k, v)
 
 
@@ -101,8 +185,7 @@ def _fwd_rule(q, k, v):
 
 def _bwd_rule(res, g):
     q, k, v = res
-    _, vjp = jax.vjp(_xla_attend, q, k, v)
-    return vjp(g)
+    return _flash_backward(q, k, v, g.astype(v.dtype))
 
 
 flash_attend_tokens.defvjp(_fwd_rule, _bwd_rule)

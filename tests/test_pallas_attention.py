@@ -51,13 +51,15 @@ def test_flash_backward_matches_reference():
     v = jnp.asarray(rng.normal(size=(1, 32, 8)), jnp.float32)
 
     def loss_flash(q, k, v):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(flash_attend_tokens(q, k, v) ** 2)
+        return jnp.sum(flash_attend_tokens(q, k, v) ** 2)
 
     def loss_ref(q, k, v):
         return jnp.sum(_ref(q, k, v) ** 2)
 
-    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    # the custom_vjp backward runs during the grad call itself, so the whole
+    # call must be under interpret mode
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for gf, gr in zip(g_flash, g_ref):
         np.testing.assert_allclose(
