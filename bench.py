@@ -30,7 +30,7 @@ import numpy as np
 
 from sap3d_tpu.models.registry import build_model
 from sap3d_tpu.train.state import create_train_state
-from sap3d_tpu.train.steps import make_train_step
+from sap3d_tpu.train.steps import make_multi_train_step, make_train_step
 
 FLAGSHIP = "p3d_unetplusplus_ds"
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
@@ -48,25 +48,32 @@ def _diff_time(run, n_small=3, n_large=13):
     return (t_large - t_small) / (n_large - n_small)
 
 
-def bench_train(batch: int) -> float:
-    """clips/sec for the flagship train step (fwd+bwd+Adam+BN updates)."""
+def bench_train(batch: int, steps_per_call: int = 4) -> float:
+    """clips/sec for the flagship train step (fwd+bwd+Adam+BN updates).
+
+    Uses the fused multi-step (lax.scan) path, the production configuration —
+    it amortizes per-dispatch host latency (+45% on the tunneled v5e).
+    """
     model = build_model(FLAGSHIP, dtype="bfloat16")
-    shape = (batch, 16, 112, 112, 3)
+    k = steps_per_call
+    shape = (k, batch, 16, 112, 112, 3)
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.normal(size=shape).astype(np.float32) * 0.3)
     targets = jnp.asarray(rng.random(shape[:-1]).astype(np.float32))
-    state0 = create_train_state(model, jax.random.PRNGKey(0), input_shape=shape)
-    step = make_train_step(model, donate=False)
+    state0 = create_train_state(
+        model, jax.random.PRNGKey(0), input_shape=shape[1:]
+    )
+    step = make_multi_train_step(model, k, donate=False)
     key = jax.random.PRNGKey(1)
 
     def run(n):
         state = state0
-        loss = None
+        losses = None
         for _ in range(n):
-            state, loss = step(state, frames, targets, key)
-        return float(loss)  # host materialization forces completion
+            state, losses = step(state, frames, targets, key)
+        return float(losses[-1])  # host materialization forces completion
 
-    return batch / _diff_time(run)
+    return k * batch / _diff_time(run)
 
 
 def bench_infer(batch: int) -> float:

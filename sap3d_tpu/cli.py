@@ -88,6 +88,8 @@ def cmd_train(argv) -> int:
     p.add_argument("--info", type=str, default="")
     p.add_argument("--devices", type=int, default=-1)
     p.add_argument("--sync-bn", type=parse_bool, default=False)
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="train steps fused per device dispatch (4 recommended)")
     args = p.parse_args(argv)
 
     from sap3d_tpu.data.indexer import ClipIndex
@@ -102,6 +104,7 @@ def cmd_train(argv) -> int:
             plot_iter=args.plotiter, valid_iter=args.validiter,
             save_iter=args.saveiter, pretrain=args.pretrain,
             num_devices=args.devices, info=args.info, sync_bn=args.sync_bn,
+            steps_per_call=args.steps_per_call,
         ),
     )
     idx = ClipIndex(

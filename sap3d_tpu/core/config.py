@@ -105,6 +105,10 @@ class TrainConfig:
     # Sync BatchNorm batch statistics across the data-parallel mesh. Default
     # False for parity: TF1 computed per-replica stats (SURVEY.md section 7).
     sync_bn: bool = False
+    # Train steps fused into one device dispatch via lax.scan (amortizes
+    # host dispatch latency; +45% on the tunneled v5e, BASELINE.md). 1 =
+    # reference-style per-step dispatch.
+    steps_per_call: int = 1
     # NaN debugging (jax.config.debug_nans analogue, applied in trainer).
     debug_nans: bool = False
     # When set, capture a jax.profiler trace of steps [profile_start,

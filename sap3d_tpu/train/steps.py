@@ -70,6 +70,55 @@ def make_train_step(
     )
 
 
+def make_multi_train_step(
+    model, steps_per_call: int, mesh: Mesh | None = None, donate: bool = True
+) -> Callable:
+    """K train steps fused into one dispatch via lax.scan.
+
+    multi_step(state, frames [K,B,...], targets [K,B,...], rng) ->
+    (state, losses [K]).  Amortizes per-dispatch host latency (significant on
+    remote/tunneled runtimes) and lets XLA overlap the inter-step boundaries;
+    numerics are identical to calling the single step K times with rngs
+    jax.random.fold_in(rng, i).
+    """
+
+    def one(state: TrainState, xs):
+        frames, targets, rng = xs
+
+        def loss_of(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                frames,
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            return loss_fn_saliency(out, targets), mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        return state, loss
+
+    def multi_step(state: TrainState, frames, targets, rng):
+        rngs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+            jnp.arange(steps_per_call)
+        )
+        return jax.lax.scan(one, state, (frames, targets, rngs))
+
+    if mesh is None:
+        return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(None, "data"))
+    return jax.jit(
+        multi_step,
+        in_shardings=(repl, data, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
 def make_eval_step(model, mesh: Mesh | None = None) -> Callable:
     """Returns eval_step(state, frames) -> pred [B,T,H,W] (no dropout, BN
     running averages — reference train.py:226 feeds training=False, dropout=0)."""

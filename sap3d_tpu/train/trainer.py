@@ -34,7 +34,11 @@ from sap3d_tpu.eval import metrics_jax
 from sap3d_tpu.models.registry import build_model, resolve_name
 from sap3d_tpu.train.checkpoint import CheckpointManager, try_restore_latest
 from sap3d_tpu.train.state import create_train_state
-from sap3d_tpu.train.steps import make_eval_step, make_train_step
+from sap3d_tpu.train.steps import (
+    make_eval_step,
+    make_multi_train_step,
+    make_train_step,
+)
 
 try:
     import cv2
@@ -78,6 +82,11 @@ class Trainer:
             input_shape=(b, t, s, s, 3),
             lr=cfg.train.lr,
         )
+        self.steps_per_call = max(1, cfg.train.steps_per_call)
+        if self.steps_per_call > 1:
+            self.multi_step = make_multi_train_step(
+                self.model, self.steps_per_call, mesh=self.mesh
+            )
         self.train_step = make_train_step(self.model, mesh=self.mesh)
         self.eval_step = make_eval_step(self.model, mesh=self.mesh)
         self.ckpt = CheckpointManager(self.model_dir, cfg.train.max_to_keep)
@@ -109,18 +118,39 @@ class Trainer:
 
     # -- main loop ---------------------------------------------------------
 
+    def _macro_batches(self, it: Iterable):
+        """Group K consecutive loader batches for the fused multi-step path."""
+        if self.steps_per_call == 1:
+            for f, t in it:
+                yield 1, f, t
+            return
+        buf: list = []
+        for f, t in it:
+            buf.append((f, t))
+            if len(buf) == self.steps_per_call:
+                yield (
+                    len(buf),
+                    np.stack([b[0] for b in buf]),
+                    np.stack([b[1] for b in buf]),
+                )
+                buf = []
+        # remainder batches run through the single-step path
+        for f, t in buf:
+            yield 1, f, t
+
     def fit(self, train_batches: Iterable, valid_batches_fn=None) -> None:
         cfg = self.cfg.train
         rng = jax.random.PRNGKey(cfg.seed + 1)
         step = int(self.state.step)
         t_last, n_last = time.time(), 0
         profiling = False
-        for frames, targets in train_batches:
-            step += 1
-            if cfg.profile_dir and step == cfg.profile_start:
+        for k, frames, targets in self._macro_batches(train_batches):
+            step += k
+            if cfg.profile_dir and step >= cfg.profile_start and not profiling \
+                    and step < cfg.profile_start + cfg.profile_steps:
                 jax.profiler.start_trace(cfg.profile_dir)
                 profiling = True
-            if profiling and step == cfg.profile_start + cfg.profile_steps:
+            elif profiling and step >= cfg.profile_start + cfg.profile_steps:
                 jax.block_until_ready(self.state.params)
                 jax.profiler.stop_trace()
                 profiling = False
@@ -128,10 +158,16 @@ class Trainer:
             f, t = mesh_lib.shard_batch(
                 self.mesh, (jnp.asarray(frames), jnp.asarray(targets))
             )
-            self.state, loss = self.train_step(self.state, f, t, drop_rng)
-            n_last += frames.shape[0]
+            if k == 1:
+                self.state, loss = self.train_step(self.state, f, t, drop_rng)
+            else:
+                self.state, losses = self.multi_step(self.state, f, t, drop_rng)
+                loss = losses[-1]
+                f = f[-1]  # last micro-batch, for the side-dump below
+                targets = targets[-1]
+            n_last += k * (frames.shape[-5] if k == 1 else frames.shape[1])
 
-            if step < 10 or step % self.cfg.train.plot_iter == 0:
+            if step < 10 + k or step % self.cfg.train.plot_iter < k:
                 loss_v = float(loss)
                 dt = time.time() - t_last
                 cps = n_last / dt if dt > 0 else 0.0
@@ -144,7 +180,8 @@ class Trainer:
                 self._log({"step": step, "loss": loss_v, "clips_per_sec": cps})
                 t_last, n_last = time.time(), 0
 
-            if valid_batches_fn is not None and step % cfg.valid_iter == 0:
+            if (valid_batches_fn is not None and step >= cfg.valid_iter
+                    and step % cfg.valid_iter < k):
                 self.validate(step, valid_batches_fn())
                 # 4-pane curve figure (GN trainer parity, reference
                 # gn/train_p3d_gn_dataset.py:294-310).
@@ -152,7 +189,7 @@ class Trainer:
 
                 plot_curves(self.logs_dir)
 
-            if step % cfg.save_iter == 0:
+            if step >= cfg.save_iter and step % cfg.save_iter < k:
                 self.ckpt.save(self.state, step)
         if profiling:
             jax.block_until_ready(self.state.params)

@@ -108,3 +108,33 @@ def test_dropout_uses_rng(batch):
     _, l1 = step(state, frames, targets, jax.random.PRNGKey(1))
     _, l2 = step(state, frames, targets, jax.random.PRNGKey(2))
     assert float(l1) != float(l2)
+
+
+def test_multi_step_matches_single_steps(batch):
+    """K fused scan steps == K sequential single steps (same fold_in rngs)."""
+    from sap3d_tpu.train.steps import make_multi_train_step
+
+    frames, targets = batch
+    K = 3
+    kf = jnp.stack([frames] * K)
+    kt = jnp.stack([targets] * K)
+    rng = jax.random.PRNGKey(42)
+
+    model = micro_model()
+    s_multi = create_train_state(model, jax.random.PRNGKey(0), input_shape=SHAPE)
+    mstep = make_multi_train_step(model, K, donate=False)
+    s_multi, losses = mstep(s_multi, kf, kt, rng)
+
+    s_seq = create_train_state(model, jax.random.PRNGKey(0), input_shape=SHAPE)
+    step = make_train_step(model, donate=False)
+    seq_losses = []
+    for i in range(K):
+        s_seq, loss = step(s_seq, frames, targets, jax.random.fold_in(rng, i))
+        seq_losses.append(float(loss))
+
+    # Loss trajectory equality across all K steps is the semantic check;
+    # exact param equality is not expected (scan body compiles separately
+    # from the single step, and Adam's ~lr*sign(grad) first-step updates
+    # amplify reassociation-level rounding differences).
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-5)
+    assert int(s_multi.step) == int(s_seq.step) == K
