@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
+from flax.core import unfreeze
 
 
 @struct.dataclass
@@ -55,7 +55,9 @@ def create_train_state(
         {"params": params_rng, "dropout": dropout_rng}, x, train=False
     )
     params = variables["params"]
-    batch_stats = variables.get("batch_stats", FrozenDict())
+    # plain dict ({} for norm-stat-free models, e.g. the GN family) so the
+    # pytree structure is stable across scan carries and checkpoint restores
+    batch_stats = unfreeze(variables.get("batch_stats", {}))
     if weight_decay > 0:
         tx = optax.adamw(lr, weight_decay=weight_decay)
     else:

@@ -49,7 +49,7 @@ def make_train_step(
                 rngs={"dropout": rng},
                 mutable=["batch_stats"],
             )
-            return loss_fn_saliency(out, targets), mutated["batch_stats"]
+            return loss_fn_saliency(out, targets), dict(mutated.get("batch_stats", {}))
 
         (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(
             state.params
@@ -93,7 +93,7 @@ def make_multi_train_step(
                 rngs={"dropout": rng},
                 mutable=["batch_stats"],
             )
-            return loss_fn_saliency(out, targets), mutated["batch_stats"]
+            return loss_fn_saliency(out, targets), dict(mutated.get("batch_stats", {}))
 
         (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(
             state.params

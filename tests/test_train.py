@@ -138,3 +138,25 @@ def test_multi_step_matches_single_steps(batch):
     # amplify reassociation-level rounding differences).
     np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-5)
     assert int(s_multi.step) == int(s_seq.step) == K
+
+
+def test_multi_step_gn_family(batch):
+    """GN models (no batch_stats) must work in the scan carry (plain-dict
+    pytree stability)."""
+    from sap3d_tpu.train.steps import make_multi_train_step
+
+    frames, targets = batch
+    K = 2
+    model = micro_model(
+        decoder="gn_easy", decoder_kwargs=dict(wide_pool4=False),
+        norm_mode="gn", backbone_cbam=True,
+    )
+    state = create_train_state(model, jax.random.PRNGKey(0), input_shape=SHAPE)
+    assert state.batch_stats == {}
+    mstep = make_multi_train_step(model, K, donate=False)
+    state, losses = mstep(
+        state, jnp.stack([frames] * K), jnp.stack([targets] * K),
+        jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(np.asarray(losses)).all()
+    assert int(state.step) == K
