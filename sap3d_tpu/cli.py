@@ -90,6 +90,8 @@ def cmd_train(argv) -> int:
     p.add_argument("--sync-bn", type=parse_bool, default=False)
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="train steps fused per device dispatch (4 recommended)")
+    p.add_argument("--weight-decay", type=float, default=0.0)
+    p.add_argument("--max-steps", type=int, default=None)
     args = p.parse_args(argv)
 
     from sap3d_tpu.data.indexer import ClipIndex
@@ -105,6 +107,7 @@ def cmd_train(argv) -> int:
             save_iter=args.saveiter, pretrain=args.pretrain,
             num_devices=args.devices, info=args.info, sync_bn=args.sync_bn,
             steps_per_call=args.steps_per_call,
+            weight_decay=args.weight_decay, max_steps=args.max_steps,
         ),
     )
     idx = ClipIndex(

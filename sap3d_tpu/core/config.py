@@ -94,6 +94,13 @@ class TrainConfig:
     save_iter: int = 4000  # reference train.py:26
     max_to_keep: int = 10  # reference train.py:185
     seed: int = 0
+    # Decoupled L2 weight decay (optax.adamw). 0 = parity: both reference
+    # trainers build weight-decay terms but comment them out of the loss
+    # (reference train.py:161-162, gn/train_p3d_gn_dataset.py:187-189).
+    weight_decay: float = 0.0
+    # Hard step cap (reference GN trainer's fixed training_iters stop,
+    # gn/train_p3d_gn_dataset.py:235-241). None = run the loader dry.
+    max_steps: int | None = None
     # Resume from latest checkpoint in this run dir (reference --pretrain).
     pretrain: str | None = None
     # Data-parallel mesh size; 1 = single chip. The reference has no DP at all

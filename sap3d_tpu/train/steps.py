@@ -31,13 +31,18 @@ def loss_fn_saliency(pred: jax.Array, target: jax.Array) -> jax.Array:
 
 
 def make_train_step(
-    model, mesh: Mesh | None = None, donate: bool = True
+    model, mesh: Mesh | None = None, donate: bool = True, state_sharding=None
 ) -> Callable:
     """Returns train_step(state, frames, targets, rng) -> (state, loss).
 
     With a mesh, the loss stays a *global* sum over the sharded batch — the
     per-element gradient scale matches the reference's single-process math
     regardless of device count.
+
+    ``state_sharding`` (a TrainState of NamedShardings, see
+    core/sharding_rules.py) enables hybrid data+tensor parallelism: wide
+    kernels live sharded on the 'model' axis, XLA propagates the activation
+    shardings and inserts the collectives.
     """
 
     def step(state: TrainState, frames, targets, rng):
@@ -62,16 +67,18 @@ def make_train_step(
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    st = state_sharding if state_sharding is not None else repl
     return jax.jit(
         step,
-        in_shardings=(repl, data, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(st, data, data, repl),
+        out_shardings=(st, repl),
         donate_argnums=(0,) if donate else (),
     )
 
 
 def make_multi_train_step(
-    model, steps_per_call: int, mesh: Mesh | None = None, donate: bool = True
+    model, steps_per_call: int, mesh: Mesh | None = None, donate: bool = True,
+    state_sharding=None,
 ) -> Callable:
     """K train steps fused into one dispatch via lax.scan.
 
@@ -111,10 +118,11 @@ def make_multi_train_step(
         return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(None, "data"))
+    st = state_sharding if state_sharding is not None else repl
     return jax.jit(
         multi_step,
-        in_shardings=(repl, data, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(st, data, data, repl),
+        out_shardings=(st, repl),
         donate_argnums=(0,) if donate else (),
     )
 

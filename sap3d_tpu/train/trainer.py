@@ -81,6 +81,7 @@ class Trainer:
             jax.random.PRNGKey(cfg.train.seed),
             input_shape=(b, t, s, s, 3),
             lr=cfg.train.lr,
+            weight_decay=cfg.train.weight_decay,
         )
         self.steps_per_call = max(1, cfg.train.steps_per_call)
         if self.steps_per_call > 1:
@@ -191,6 +192,9 @@ class Trainer:
 
             if step >= cfg.save_iter and step % cfg.save_iter < k:
                 self.ckpt.save(self.state, step)
+
+            if cfg.max_steps is not None and step >= cfg.max_steps:
+                break
         if profiling:
             jax.block_until_ready(self.state.params)
             jax.profiler.stop_trace()
