@@ -78,24 +78,37 @@ class FrameCache:
 
 
 def preprocess_frame(bgr: np.ndarray, size: int = 112) -> np.ndarray:
-    """BGR uint8 frame -> float32 [size,size,3] with reference semantics.
-
-    Order matters: RGB flip, mean-subtract, resize (on the mean-subtracted
-    floats — resize-then-subtract is NOT equivalent), /255
+    """BGR uint8 frame -> float32 [size,size,3] with reference semantics:
+    RGB flip, float-promote, mean-subtract, bilinear resize, /255
     (reference dataflow.py:203-208).
+
+    Implementation note: every heavy op here is a cv2 call that releases the
+    GIL, so 16 decode threads actually scale (a numpy `im - mean` on the
+    full-res float frame holds the GIL ~2.5ms and serializes the pool).  The
+    mean-subtract and /255 are applied AFTER the float resize — bilinear
+    interpolation is linear, so resize(float(x) - m)/255 ==
+    (resize(float(x)) - m)/255 exactly up to float rounding; the promotion to
+    float happens BEFORE the resize, which is what actually changes pixel
+    values vs resizing uint8 (cv2's uint8 path rounds).
     """
-    im = bgr[:, :, ::-1].astype(np.float32)
-    im = im - _RGB_MEAN
-    im = cv2.resize(im, (size, size), interpolation=cv2.INTER_LINEAR)
-    return im / 255.0
+    rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+    # GIL-free uint8 -> float32 conversion
+    fl = cv2.multiply(rgb, (1.0, 1.0, 1.0, 1.0), dtype=cv2.CV_32F)
+    small = cv2.resize(fl, (size, size), interpolation=cv2.INTER_LINEAR)
+    # tiny (size x size) numpy epilogue; values match the reference order
+    return (small - _RGB_MEAN) * np.float32(1.0 / 255.0)
 
 
 def preprocess_density(gray: np.ndarray, size: int | tuple[int, int] = 112) -> np.ndarray:
-    """Grayscale density map -> float32, resized, /255 (dataflow.py:210-215)."""
+    """Grayscale density map -> float32, resized, /255 (dataflow.py:210-215).
+
+    The reference resizes the uint8 map then divides (dataflow.py:213-214),
+    so the uint8 resize path (with its rounding) is kept here.
+    """
     if isinstance(size, int):
         size = (size, size)
     im = cv2.resize(gray, size, interpolation=cv2.INTER_LINEAR)
-    return im.astype(np.float32) / 255.0
+    return im.astype(np.float32) * np.float32(1.0 / 255.0)
 
 
 def decode_clip(

@@ -207,6 +207,26 @@ def KLdiv(saliency_map: np.ndarray, fixation_map: np.ndarray) -> float:
     return float(np.sum(m2 * np.log(eps + m2 / (m1 + eps))))
 
 
+def match_hist(
+    image: np.ndarray, cdf: np.ndarray, bin_centers: np.ndarray, nbins: int = 256
+) -> np.ndarray:
+    """Histogram matching (reference utils/metric_utils.py:56-84).
+
+    Transforms ``image`` so its histogram matches the target described by
+    (cdf, bin_centers) — in the reference this fed the (commented-out) EMD
+    metric; provided for component completeness.
+    """
+    img = np.asarray(image, dtype=np.float64)
+    lo, hi = img.min(), img.max()
+    norm = (img - lo) / (hi - lo) if hi > lo else np.zeros_like(img)
+    hist, bin_edges = np.histogram(norm.ravel(), bins=nbins)
+    old_bin = (bin_edges[:-1] + bin_edges[1:]) / 2
+    old_cdf = np.cumsum(hist) / norm.size
+    new_bin = np.interp(old_cdf, cdf, bin_centers)
+    out = np.interp(norm.ravel(), old_bin, new_bin)
+    return out.reshape(img.shape)
+
+
 def nan_filtered_mean(values) -> float:
     """NaN-filtered mean, the reference's reporting reduction
     (reference train.py:261-264, test.py:177-183)."""
