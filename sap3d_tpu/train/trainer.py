@@ -204,7 +204,7 @@ class Trainer:
     def validate(self, step: int, valid_batches: Iterable) -> dict:
         """CC/SIM on device + AUC-Judd on host, last frame per clip,
         NaN-filtered means (reference train.py:243-264)."""
-        ccs, sims, aucs = [], [], []
+        ccs, sims, klds, aucs = [], [], [], []
         for frames, targets in valid_batches:
             f = mesh_lib.shard_batch(self.mesh, jnp.asarray(frames))
             pred = self.eval_step(self.state, f)
@@ -212,6 +212,7 @@ class Trainer:
             gt_last = jnp.asarray(targets)[:, -1]
             ccs += list(np.asarray(metrics_jax.cc(pred_last, gt_last)))
             sims += list(np.asarray(metrics_jax.sim(pred_last, gt_last)))
+            klds += list(np.asarray(metrics_jax.kldiv(pred_last, gt_last)))
             pl, gl = np.asarray(pred_last), np.asarray(targets)[:, -1]
             for i in range(pl.shape[0]):
                 aucs.append(host_metrics.AUC_Judd(pl[i], gl[i]))
@@ -219,11 +220,12 @@ class Trainer:
             "step": step,
             "cc": host_metrics.nan_filtered_mean(ccs),
             "sim": host_metrics.nan_filtered_mean(sims),
+            "kld": host_metrics.nan_filtered_mean(klds),
             "auc_judd": host_metrics.nan_filtered_mean(aucs),
         }
         print(
             f"[valid] step {step} CC {result['cc']:.4f} SIM {result['sim']:.4f} "
-            f"AUC_Judd {result['auc_judd']:.4f}"
+            f"KLD {result['kld']:.4f} AUC_Judd {result['auc_judd']:.4f}"
         )
         self._log(result)
         return result
