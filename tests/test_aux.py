@@ -1,0 +1,78 @@
+"""Tests for auxiliary subsystems: curve plotting, checkpoint inspection,
+config parsing."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sap3d_tpu.core.config import Config, parse_bool
+from sap3d_tpu.train.plotting import load_metrics, plot_curves
+
+
+def test_parse_bool_strict():
+    """The reference's type=bool argparse quirk is fixed (train.py:38 there
+    parses any non-empty string as True)."""
+    assert parse_bool("False") is False
+    assert parse_bool("false") is False
+    assert parse_bool("0") is False
+    assert parse_bool("True") is True
+    assert parse_bool(True) is True
+    with pytest.raises(ValueError):
+        parse_bool("maybe")
+
+
+def test_config_immutable_defaults():
+    cfg = Config()
+    assert cfg.train.lr == 1e-4  # reference train.py:40
+    assert cfg.train.batch_size == 2  # reference train.py:39
+    assert cfg.data.overlap == 15  # reference train.py:33
+    assert cfg.data.skip_head == 11  # reference dataflow.py:39
+    with pytest.raises(Exception):
+        cfg.train.lr = 1.0  # frozen dataclass
+
+
+def test_plot_curves_from_metrics_log(tmp_path):
+    logs = tmp_path / "run"
+    logs.mkdir()
+    records = [
+        {"step": 1, "loss": 100.0},
+        {"step": 2, "loss": 50.0},
+        {"step": 2, "cc": 0.5, "sim": 0.4, "auc_judd": 0.7},
+    ]
+    with open(logs / "metrics.jsonl", "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    assert len(load_metrics(str(logs))) == 3
+    out = plot_curves(str(logs))
+    assert out and os.path.exists(out)
+    assert os.path.getsize(out) > 1000  # a real PNG
+
+
+def test_inspect_checkpoint(tmp_path):
+    import jax
+
+    from sap3d_tpu.models.p3d import P3DSaliency
+    from sap3d_tpu.train.checkpoint import CheckpointManager
+    from sap3d_tpu.train.inspect_ckpt import inspect
+    from sap3d_tpu.train.state import create_train_state
+
+    model = P3DSaliency(
+        decoder="unetpp", decoder_kwargs=dict(attention="none", head="ds"),
+        norm_mode="bn", stages=((4, 1), (4, 1), (4, 1)), stem_features=4,
+    )
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), input_shape=(1, 16, 16, 16, 3)
+    )
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=1)
+    mgr.save(state, 7)
+    mgr.close()
+
+    rows = inspect(str(tmp_path / "ck"))
+    assert rows
+    names = [n for n, _ in rows]
+    assert any("stem" in n for n in names)
+    # filtering works (reference utils/test_model.py printed conv vars only)
+    stem_rows = inspect(str(tmp_path / "ck"), "stem")
+    assert 0 < len(stem_rows) < len(rows)
