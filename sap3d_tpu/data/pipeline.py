@@ -146,14 +146,151 @@ def decode_clip(
     return frames, densities, fixations
 
 
+# Stream control tokens (identity-compared).
+_EPOCH_END = object()  # per-epoch remainder drop boundary
+_DONE = object()  # clean end of stream
+_STOPPED = object()  # shutdown requested
+
+
+class _Error:
+    """Wraps a worker exception for re-raise on the consumer thread."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
+class _LoaderIter:
+    """One live iteration of a ClipLoader: feeder + decode pool + producer.
+
+    Backpressure: the ``window`` queue of in-flight decode futures is bounded
+    to ``num_threads + prefetch * batch_size``, so when the consumer stalls the
+    feeder blocks *before* submitting more work — decode never runs more than
+    one prefetch window ahead (an unbounded futures queue would accumulate
+    ~3MB decoded clips without limit on real datasets).
+
+    Shutdown: ``close()`` sets a stop event; every blocking queue op here is a
+    short-timeout loop that re-checks the event, so the feeder and producer
+    exit within ~0.1s and the pool drains its (bounded) in-flight decodes.
+    """
+
+    def __init__(self, loader: "ClipLoader"):
+        self.loader = loader
+        self._stop = threading.Event()
+        self._buf: queue.Queue = queue.Queue(
+            maxsize=loader.prefetch * loader.batch_size
+        )
+        self._window: queue.Queue = queue.Queue(
+            maxsize=loader.num_threads + loader.prefetch * loader.batch_size
+        )
+        self._producer = threading.Thread(
+            target=self._produce, name="clip-loader-producer", daemon=True
+        )
+        self._producer.start()
+
+    # -- stop-aware queue ops ------------------------------------------------
+
+    def _qput(self, q: queue.Queue, item) -> bool:
+        while not self._stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                pass
+        return False
+
+    def _qget(self, q: queue.Queue):
+        while not self._stop.is_set():
+            try:
+                return q.get(timeout=0.1)
+            except queue.Empty:
+                pass
+        return _STOPPED
+
+    # -- pipeline threads ----------------------------------------------------
+
+    def _produce(self):
+        loader = self.loader
+        try:
+            with ThreadPoolExecutor(loader.num_threads) as pool:
+
+                def feed():
+                    # Submit in order, consume in order: parallel decode with
+                    # deterministic batch composition.
+                    for item in loader._clip_stream():
+                        if self._stop.is_set():
+                            return
+                        if item is not _EPOCH_END:
+                            item = pool.submit(loader.decode_fn, item)
+                        if not self._qput(self._window, item):
+                            return
+                    self._qput(self._window, _DONE)
+
+                feeder = threading.Thread(
+                    target=feed, name="clip-loader-feeder", daemon=True
+                )
+                feeder.start()
+                try:
+                    while True:
+                        fut = self._qget(self._window)
+                        if fut is _STOPPED or fut is _DONE:
+                            break
+                        item = fut if fut is _EPOCH_END else fut.result()
+                        if not self._qput(self._buf, item):
+                            break
+                finally:
+                    self._stop_feeder_if_closing(feeder)
+        except BaseException as e:  # decode error: forward to the consumer
+            self._qput(self._buf, _Error(e))
+            return
+        self._qput(self._buf, _DONE)
+
+    def _stop_feeder_if_closing(self, feeder: threading.Thread):
+        # On clean _DONE the feeder has already exited; on stop it exits on
+        # its next 0.1s timeout.  Join so the pool's `with` exit only waits
+        # for in-flight decodes, never for new submissions.
+        feeder.join(timeout=5.0)
+
+    # -- consumer API ----------------------------------------------------------
+
+    def get(self):
+        """Next decoded clip, or a control token.
+
+        Never hangs: if the loader is closed from another thread (or the
+        producer died) while we wait, this returns _DONE on the next tick.
+        """
+        while True:
+            try:
+                return self._buf.get(timeout=0.1)
+            except queue.Empty:
+                if self._stop.is_set() or not self._producer.is_alive():
+                    return _DONE
+
+    def close(self):
+        """Stop all pipeline threads; safe to call more than once."""
+        self._stop.set()
+        # Drain the buffer so a blocked producer put() wakes and exits.
+        while self._producer.is_alive():
+            try:
+                self._buf.get_nowait()
+            except queue.Empty:
+                self._producer.join(timeout=0.05)
+
+
 class ClipLoader:
     """Threaded, shuffling, batching clip loader with bounded prefetch.
 
     Equivalent role to the reference's tensorpack pipeline (train.py:99-108):
     per-epoch shuffle of the clip list, ``num_threads`` parallel decoders,
-    fixed-size batches with the remainder dropped, ``prefetch`` batches ready
-    ahead of the consumer.  The ZMQ process boundary is unnecessary: decoding
-    releases the GIL inside cv2, and the accelerator step runs on device.
+    fixed-size batches with the remainder dropped *per epoch* (the reference
+    batches before repeating: BatchData(remainder=False) under RepeatedData,
+    train.py:105-108), ``prefetch`` batches ready ahead of the consumer.  The
+    ZMQ process boundary is unnecessary: decoding releases the GIL inside cv2,
+    and the accelerator step runs on device.
+
+    Lifecycle: iteration stops its worker threads when the generator is
+    closed/garbage-collected; ``close()`` (or use as a context manager) stops
+    any still-live iterations explicitly, so abandoning iteration early leaves
+    no threads decoding behind the consumer's back.
     """
 
     def __init__(
@@ -169,9 +306,28 @@ class ClipLoader:
         test_mode: bool = False,
         decode_fn: Callable | None = None,
         cache_frames: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """``batch_size`` is the PER-HOST batch; on a multi-host slice each
+        process constructs a loader with its own ``jax.process_index()`` /
+        ``jax.process_count()`` and the global batch is
+        ``batch_size * process_count`` (assembled device-side by
+        core/mesh.py shard_batch).
+
+        Per-host data sharding (SURVEY.md section 2.9 DP plan): every host
+        shuffles the SAME clip order with the same seed, truncates to a
+        multiple of ``process_count``, then takes the strided slice
+        ``order[process_index::process_count]`` — partitions are disjoint,
+        their union is exhaustive (up to the dropped remainder), and every
+        host yields exactly the same number of batches per epoch, which SPMD
+        stepping requires.
+        """
+        assert 0 <= process_index < process_count, (process_index, process_count)
         self.clips = list(clips)
         self.batch_size = batch_size
+        self.process_index = process_index
+        self.process_count = process_count
         self.size = size
         self.num_threads = num_threads
         self.prefetch = max(1, prefetch)
@@ -183,56 +339,64 @@ class ClipLoader:
         self.decode_fn = decode_fn or (
             lambda c: decode_clip(c, self.size, self.test_mode, self.cache)
         )
+        self._iters: list[_LoaderIter] = []
+
+    def _per_host_count(self) -> int:
+        """Clips this host sees per epoch (equal across hosts)."""
+        return len(self.clips) // self.process_count
 
     def __len__(self) -> int:
-        return (len(self.clips) // self.batch_size) * self.epochs
+        # remainder dropped per epoch (reference BatchData(remainder=False)
+        # before RepeatedData, train.py:105-108)
+        return (self._per_host_count() // self.batch_size) * self.epochs
 
-    def _clip_stream(self) -> Iterator[ClipPaths]:
+    def _clip_stream(self) -> Iterator:
         rng = random.Random(self.seed)
         for _ in range(self.epochs):
             order = list(self.clips)
             if self.shuffle:
                 rng.shuffle(order)
+            if self.process_count > 1:
+                usable = self._per_host_count() * self.process_count
+                order = order[: usable][self.process_index :: self.process_count]
             yield from order
+            yield _EPOCH_END
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, ...]]:
         """Yields batches of stacked arrays, e.g. (frames [B,T,H,W,3], gts [B,T,H,W])."""
-        buf: queue.Queue = queue.Queue(maxsize=self.prefetch * self.batch_size)
-        sentinel = object()
-
-        def producer():
-            with ThreadPoolExecutor(self.num_threads) as pool:
-                # Submit in order, consume in order: parallel decode with
-                # deterministic batch composition.
-                window: queue.Queue = queue.Queue()
-                stream = self._clip_stream()
-
-                def feed():
-                    for clip in stream:
-                        window.put(pool.submit(self.decode_fn, clip))
-                    window.put(None)
-
-                feeder = threading.Thread(target=feed, daemon=True)
-                feeder.start()
-                while True:
-                    fut = window.get()
-                    if fut is None:
-                        break
-                    buf.put(fut.result())
-            buf.put(sentinel)
-
-        thread = threading.Thread(target=producer, daemon=True)
-        thread.start()
-
+        it = _LoaderIter(self)
+        self._iters.append(it)
         batch: list[tuple[np.ndarray, ...]] = []
-        while True:
-            item = buf.get()
-            if item is sentinel:
-                break  # drop remainder (BatchData(remainder=False))
-            batch.append(item)
-            if len(batch) == self.batch_size:
-                n_fields = len(batch[0])
-                yield tuple(
-                    np.stack([b[i] for b in batch]) for i in range(n_fields)
-                )
-                batch = []
+        try:
+            while True:
+                item = it.get()
+                if item is _DONE:
+                    break
+                if item is _EPOCH_END:
+                    batch = []  # drop remainder (BatchData(remainder=False))
+                    continue
+                if isinstance(item, _Error):
+                    raise item.exc
+                batch.append(item)
+                if len(batch) == self.batch_size:
+                    n_fields = len(batch[0])
+                    yield tuple(
+                        np.stack([b[i] for b in batch]) for i in range(n_fields)
+                    )
+                    batch = []
+        finally:
+            it.close()
+            if it in self._iters:
+                self._iters.remove(it)
+
+    def close(self):
+        """Stop worker threads of any live iterations (idempotent)."""
+        for it in list(self._iters):
+            it.close()
+        self._iters.clear()
+
+    def __enter__(self) -> "ClipLoader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

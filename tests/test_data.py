@@ -142,6 +142,131 @@ def test_frame_cache_hits_and_equivalence(dataset):
     assert cached.cache.hits > 50
 
 
+def test_loader_per_epoch_remainder_drop():
+    """Batches never straddle an epoch boundary: the reference batches BEFORE
+    repeating (BatchData(remainder=False) under RepeatedData, reference
+    train.py:105-108), so each epoch's remainder is dropped independently."""
+    clips = list(range(5))  # 5 clips, batch 2 -> 2 batches + 1 dropped / epoch
+    decode = lambda c: (np.full((1,), float(c), np.float32),)  # noqa: E731
+    loader = ClipLoader(
+        clips, batch_size=2, num_threads=2, epochs=3, shuffle=False,
+        decode_fn=decode,
+    )
+    batches = [tuple(b[0].ravel().tolist()) for b in loader]
+    assert len(batches) == len(loader) == 6
+    # each epoch contributes exactly [0,1], [2,3]; clip 4 dropped every epoch
+    assert batches == [(0.0, 1.0), (2.0, 3.0)] * 3
+
+
+def test_loader_early_exit_stops_threads():
+    """Abandoning iteration must stop the producer/feeder (no threads keep
+    decoding behind the consumer's back)."""
+    import threading
+    import time
+
+    decoded = []
+
+    def decode(c):
+        decoded.append(c)
+        return (np.zeros((4,), np.float32),)
+
+    loader = ClipLoader(
+        list(range(500)), batch_size=2, num_threads=4, epochs=1,
+        shuffle=False, prefetch=2, decode_fn=decode,
+    )
+    it = iter(loader)
+    next(it)
+    it.close()  # abandon after one batch
+    loader.close()
+    deadline = time.time() + 5.0
+    while time.time() < deadline and any(
+        t.name.startswith("clip-loader") for t in threading.enumerate()
+    ):
+        time.sleep(0.05)
+    live = [t.name for t in threading.enumerate() if t.name.startswith("clip-loader")]
+    assert not live, live
+    n_after_close = len(decoded)
+    time.sleep(0.3)
+    assert len(decoded) == n_after_close  # nothing decoded after shutdown
+
+
+def test_loader_decode_backpressure():
+    """Decode never runs more than one bounded window ahead of the consumer
+    (an unbounded futures queue would decode the whole epoch eagerly)."""
+    import time
+
+    decoded = []
+
+    def decode(c):
+        decoded.append(c)
+        return (np.zeros((4,), np.float32),)
+
+    batch, threads, prefetch = 2, 4, 2
+    with ClipLoader(
+        list(range(400)), batch_size=batch, num_threads=threads, epochs=1,
+        shuffle=False, prefetch=prefetch, decode_fn=decode,
+    ) as loader:
+        it = iter(loader)
+        next(it)  # consume one batch, then stall
+        time.sleep(0.5)
+        # bound: window (threads + prefetch*batch) + buf (prefetch*batch)
+        # + one batch consumed + in-flight slack
+        bound = (threads + prefetch * batch) + prefetch * batch + batch + threads
+        assert len(decoded) <= bound, (len(decoded), bound)
+        it.close()
+
+
+def test_loader_propagates_decode_errors():
+    def decode(c):
+        if c == 3:
+            raise ValueError("boom")
+        return (np.zeros((2,), np.float32),)
+
+    loader = ClipLoader(
+        list(range(8)), batch_size=2, num_threads=2, epochs=1, shuffle=False,
+        decode_fn=decode,
+    )
+    with pytest.raises(ValueError, match="boom"):
+        list(loader)
+    loader.close()
+
+
+def test_multihost_partition_disjoint_exhaustive():
+    """Per-host data sharding (SURVEY section 2.9): with the same seed, the
+    process-indexed loaders see disjoint, equal-size partitions whose union
+    is the (truncated) epoch — per epoch, including reshuffles."""
+    clips = list(range(23))
+    decode = lambda c: (np.full((1,), float(c), np.float32),)  # noqa: E731
+    count = 4
+    per_epoch: list[list[list[float]]] = []  # [host][epoch] -> clip ids
+    for idx in range(count):
+        loader = ClipLoader(
+            clips, batch_size=1, num_threads=2, epochs=2, shuffle=True,
+            seed=3, decode_fn=decode, process_index=idx, process_count=count,
+        )
+        seen = [b[0].ravel()[0] for b in loader]
+        assert len(seen) == len(loader) == 2 * (23 // 4)
+        per_epoch.append([seen[: 23 // 4], seen[23 // 4 :]])
+    for epoch in range(2):
+        all_ids = [i for h in range(count) for i in per_epoch[h][epoch]]
+        assert len(all_ids) == len(set(all_ids)) == 20  # disjoint, 3 dropped
+    # different epochs shuffle differently (reshuffle actually happens)
+    assert per_epoch[0][0] != per_epoch[0][1]
+
+
+def test_multihost_batch_shapes(dataset):
+    """Per-host loader yields per-host-batch-sized arrays."""
+    idx = _index(dataset, overlap=15, training_props=0.9)
+    clips = idx.train_clips()[:12]
+    loader = ClipLoader(
+        clips, batch_size=2, size=16, num_threads=2, shuffle=False,
+        process_index=1, process_count=2,
+    )
+    batches = list(loader)
+    assert len(batches) == 3  # 12 clips / 2 hosts / batch 2
+    assert batches[0][0].shape == (2, 16, 16, 16, 3)
+
+
 def test_frame_cache_eviction():
     from sap3d_tpu.data.pipeline import FrameCache
 
