@@ -16,8 +16,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def initialize_distributed(**kw) -> None:
+    """Multi-host hook: call once per process before any jax use on a
+    multi-host slice (coordinator/process env vars are auto-detected on TPU
+    pods).  After this, jax.devices() is GLOBAL and make_mesh spans the whole
+    slice.  No-op when already initialized or single-process."""
+    try:
+        jax.distributed.initialize(**kw)
+    except (RuntimeError, ValueError) as e:  # already initialized / 1-process
+        print(f"jax.distributed.initialize skipped: {e}")
+
+
 def make_mesh(num_devices: int = -1, devices=None) -> Mesh:
-    """1-D data-parallel mesh over the first ``num_devices`` local devices."""
+    """1-D data-parallel mesh over the first ``num_devices`` devices.
+
+    jax.devices() is the GLOBAL device list: on a multi-host slice (after
+    initialize_distributed) the mesh spans every chip of every host, and
+    shard_batch assembles global arrays from per-host shards."""
     devs = list(devices if devices is not None else jax.devices())
     if num_devices > 0:
         devs = devs[:num_devices]
@@ -33,9 +48,29 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Device-put a pytree of host arrays with the batch axis sharded."""
-    sh = batch_sharding(mesh)
+def macro_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for [K, B, ...] macro-batches of the fused multi-step path:
+    the scan axis K stays replicated, the batch axis B is data-sharded
+    (matching make_multi_train_step's in_shardings, train/steps.py)."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def shard_batch(mesh: Mesh, batch, macro: bool = False):
+    """Device-put a pytree of host arrays with the batch axis sharded.
+
+    macro=True shards axis 1 instead of axis 0 (fused multi-step [K, B, ...]
+    macro-batches, where axis 0 is the lax.scan axis).
+
+    Multi-host: each process passes its PER-HOST batch (from a
+    process-partitioned ClipLoader) and the global array is assembled from
+    the local shards — the global batch dim is per-host-batch x process_count.
+    """
+    sh = macro_batch_sharding(mesh) if macro else batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 

@@ -139,13 +139,44 @@ class Trainer:
         for f, t in buf:
             yield 1, f, t
 
+    def _prepare(self, item):
+        """Host batch -> device arrays (sharded put) + host-side leftovers."""
+        k, frames, targets = item
+        f, t = mesh_lib.shard_batch(
+            self.mesh, (jnp.asarray(frames), jnp.asarray(targets)),
+            macro=(k > 1),
+        )
+        n_clips = frames.shape[0] * (frames.shape[1] if k > 1 else 1)
+        return k, f, t, targets, n_clips
+
+    def _device_prefetch(self, it: Iterable, depth: int = 1):
+        """Double-buffer host->device transfers.
+
+        The H2D put of macro-batch N+1 runs on a dedicated thread while the
+        main thread dispatches/executes step N, so transfer overlaps device
+        compute even when device_put is synchronous on this runtime (the
+        tunnel-latency analogue of the reference's PrefetchDataZMQ,
+        reference train.py:106)."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(1, thread_name_prefix="h2d-prefetch") as ex:
+            q: deque = deque()
+            for item in it:
+                q.append(ex.submit(self._prepare, item))
+                if len(q) > depth:
+                    yield q.popleft().result()
+            while q:
+                yield q.popleft().result()
+
     def fit(self, train_batches: Iterable, valid_batches_fn=None) -> None:
         cfg = self.cfg.train
         rng = jax.random.PRNGKey(cfg.seed + 1)
         step = int(self.state.step)
         t_last, n_last = time.time(), 0
         profiling = False
-        for k, frames, targets in self._macro_batches(train_batches):
+        batches = self._device_prefetch(self._macro_batches(train_batches))
+        for k, f, t, targets, n_clips in batches:
             step += k
             if cfg.profile_dir and step >= cfg.profile_start and not profiling \
                     and step < cfg.profile_start + cfg.profile_steps:
@@ -156,9 +187,6 @@ class Trainer:
                 jax.profiler.stop_trace()
                 profiling = False
             rng, drop_rng = jax.random.split(rng)
-            f, t = mesh_lib.shard_batch(
-                self.mesh, (jnp.asarray(frames), jnp.asarray(targets))
-            )
             if k == 1:
                 self.state, loss = self.train_step(self.state, f, t, drop_rng)
             else:
@@ -166,7 +194,7 @@ class Trainer:
                 loss = losses[-1]
                 f = f[-1]  # last micro-batch, for the side-dump below
                 targets = targets[-1]
-            n_last += k * (frames.shape[-5] if k == 1 else frames.shape[1])
+            n_last += n_clips
 
             if step < 10 + k or step % self.cfg.train.plot_iter < k:
                 loss_v = float(loss)

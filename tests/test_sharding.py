@@ -85,6 +85,29 @@ def test_dp_matches_single_device(batch):
     np.testing.assert_allclose(losses1, losses8, rtol=1e-3)
 
 
+def test_fused_multi_step_sharded_k_not_divisible(batch):
+    """The fused-K macro-batch [K, B, ...] must shard axis 1 (batch), never
+    the scan axis: with K=3 on 8 devices a P('data') put would crash
+    (3 % 8 != 0) or silently reshard every call."""
+    from sap3d_tpu.core.mesh import macro_batch_sharding
+    from sap3d_tpu.train.steps import make_multi_train_step
+
+    frames, targets = batch
+    k = 3
+    mf = np.stack([frames] * k)  # [K, B, ...]
+    mt = np.stack([targets] * k)
+    mesh = make_mesh()
+    model = micro_model()
+    state = create_train_state(model, jax.random.PRNGKey(0), input_shape=SHAPE)
+    multi = make_multi_train_step(model, k, mesh=mesh, donate=False)
+    f, t = shard_batch(mesh, (jnp.asarray(mf), jnp.asarray(mt)), macro=True)
+    assert f.sharding == macro_batch_sharding(mesh)
+    state, losses = multi(state, f, t, jax.random.PRNGKey(0))
+    losses = np.asarray(losses)
+    assert losses.shape == (k,)
+    assert np.isfinite(losses).all()
+
+
 def test_sharded_eval_step(batch):
     frames, _ = batch
     mesh = make_mesh()
