@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
 
 import numpy as np
@@ -29,11 +30,11 @@ from sap3d_tpu.core.config import (
 )
 
 
-def _add_common_model_flags(p: argparse.ArgumentParser):
+def _add_common_model_flags(p: argparse.ArgumentParser, dtype: str = "bfloat16"):
     p.add_argument("--structure", type=str, default="unet++",
                    help="model name or alias (unet/concat/unet++/P3D_SA_CONCAT/...)")
-    p.add_argument("--dtype", type=str, default="bfloat16",
-                   help="compute dtype: bfloat16/float32")
+    p.add_argument("--dtype", type=str, default=dtype,
+                   help=f"compute dtype: bfloat16/float32 (default {dtype})")
     p.add_argument("--normalization", type=str, default=None,
                    help="ignored; BN/GN is keyed by the model variant "
                         "(kept for reference CLI compat)")
@@ -92,11 +93,26 @@ def cmd_train(argv) -> int:
                    help="train steps fused per device dispatch (4 recommended)")
     p.add_argument("--weight-decay", type=float, default=0.0)
     p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--distributed", type=parse_bool, default=False,
+                   help="multi-host: run jax.distributed.initialize() so the "
+                        "mesh spans all hosts; --batch is the GLOBAL batch")
     args = p.parse_args(argv)
 
+    import jax
+
+    from sap3d_tpu.core.mesh import initialize_distributed
     from sap3d_tpu.data.indexer import ClipIndex
     from sap3d_tpu.data.pipeline import ClipLoader
     from sap3d_tpu.train.trainer import Trainer
+
+    if args.distributed:
+        initialize_distributed()
+    proc_idx, proc_cnt = jax.process_index(), jax.process_count()
+    if args.batch % proc_cnt != 0:
+        print(f"--batch {args.batch} must divide by process_count {proc_cnt}",
+              file=sys.stderr)
+        return 2
+    host_batch = args.batch // proc_cnt
 
     cfg = Config(
         model=ModelConfig(name=args.structure, dtype=args.dtype),
@@ -121,28 +137,57 @@ def cmd_train(argv) -> int:
     print(idx.summary())
     trainer = Trainer(cfg)
     train_loader = ClipLoader(
-        idx.train_clips(), cfg.train.batch_size, size=cfg.data.image_size,
+        idx.train_clips(), host_batch, size=cfg.data.image_size,
         num_threads=cfg.data.num_threads, epochs=cfg.train.epochs,
         cache_frames=cfg.data.cache_frames,
+        process_index=proc_idx, process_count=proc_cnt,
     )
     valid_fn = lambda: ClipLoader(  # noqa: E731
-        idx.valid_clips(), cfg.train.batch_size, size=cfg.data.image_size,
+        idx.valid_clips(), host_batch, size=cfg.data.image_size,
         num_threads=cfg.data.num_threads, shuffle=False,
+        process_index=proc_idx, process_count=proc_cnt,
     )
-    trainer.fit(iter(train_loader), valid_fn)
+    with train_loader:
+        trainer.fit(iter(train_loader), valid_fn)
     trainer.close()
     return 0
 
 
+def infer_structure_from_run_name(run_name: str) -> str | None:
+    """Best-effort model-variant inference from a run-dir name.
+
+    The reference parses the structure out of each modelList entry
+    (reference test.py:129-136); run dirs here are named
+    ``<model>_<batch>_<lr>_<info>_<date>`` (train/trainer.py run_name), so
+    the longest registry name or alias that prefixes the basename wins.
+    """
+    from sap3d_tpu.models.registry import MODEL_REGISTRY, STRUCTURE_ALIASES
+
+    base = os.path.basename(run_name.rstrip("/"))
+    candidates = sorted(
+        list(MODEL_REGISTRY) + list(STRUCTURE_ALIASES), key=len, reverse=True
+    )
+    for cand in candidates:
+        if base == cand or base.startswith(cand + "_"):
+            return cand
+    return None
+
+
 def cmd_eval(argv) -> int:
     p = argparse.ArgumentParser(prog="sap3d eval")
-    _add_common_model_flags(p)
+    # float32 default: the reference evaluates in fp32 (TF1 default dtype),
+    # so parity metric comparisons must not silently run at reduced precision.
+    _add_common_model_flags(p, dtype="float32")
     _add_data_flags(p)
     p.add_argument("--batch", type=int, default=2)
-    p.add_argument("--checkpoint", type=str, required=True,
-                   help="run directory under ./model/ to restore")
+    p.add_argument("--checkpoint", type=str, required=True, nargs="+",
+                   help="run directory name(s) under --model-dir; globs "
+                        "allowed — every match is evaluated in one invocation"
+                        " (reference test.py's modelList sweep)")
     p.add_argument("--model-dir", type=str, default="./model")
     args = p.parse_args(argv)
+
+    import glob as globlib
 
     import jax
 
@@ -161,33 +206,60 @@ def cmd_eval(argv) -> int:
     ).setup(overlap=data.overlap, training_props=0.0, skip_head=data.skip_head)
     print(idx.summary())
 
-    model = build_model(resolve_name(args.structure), dtype=args.dtype)
-    state = create_train_state(
-        model, jax.random.PRNGKey(0),
-        input_shape=(args.batch, data.video_length, data.image_size,
-                     data.image_size, 3),
-    )
-    import os
+    # expand the model list (reference test.py:106-128 hard-codes modelList;
+    # here it is --checkpoint names/globs)
+    runs: list[str] = []
+    for pat in args.checkpoint:
+        matches = sorted(globlib.glob(os.path.join(args.model_dir, pat)))
+        if matches:
+            runs += [os.path.basename(m) for m in matches if os.path.isdir(m)]
+        else:
+            runs.append(pat)
+    seen: set[str] = set()
+    runs = [r for r in runs if not (r in seen or seen.add(r))]
 
-    state, ok = try_restore_latest(state, os.path.join(args.model_dir, args.checkpoint))
-    if not ok:
-        print(f"no checkpoint found under {args.model_dir}/{args.checkpoint}",
-              file=sys.stderr)
-        return 1
-    ev = make_eval_step(model)
-    loader = ClipLoader(
-        idx.valid_clips(with_fixations=True), args.batch, size=data.image_size,
-        num_threads=data.num_threads, shuffle=False, test_mode=True,
-    )
-    result = evaluate_prediction_batches(
-        iter(loader), lambda f: ev(state, jax.numpy.asarray(f))
-    )
-    print(
-        f" All: {result['n']}, Metrics: CC: {result['cc']:.3f}  "
-        f"SIM: {result['sim']:.3f}   NSS: {result['nss']:.3f}  "
-        f"AUC_Judd: {result['auc_judd']:.3f}   AUC_Borji: {result['auc_borji']:.3f}"
-    )
-    return 0
+    input_shape = (args.batch, data.video_length, data.image_size,
+                   data.image_size, 3)
+    results: dict[str, dict] = {}
+    failures = 0
+    for run in runs:
+        structure = infer_structure_from_run_name(run) or args.structure
+        model = build_model(resolve_name(structure), dtype=args.dtype)
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), input_shape=input_shape
+        )
+        state, ok = try_restore_latest(state, os.path.join(args.model_dir, run))
+        if not ok:
+            print(f"no checkpoint found under {args.model_dir}/{run}",
+                  file=sys.stderr)
+            failures += 1
+            continue
+        ev = make_eval_step(model)
+        loader = ClipLoader(
+            idx.valid_clips(with_fixations=True), args.batch,
+            size=data.image_size, num_threads=data.num_threads, shuffle=False,
+            test_mode=True,
+        )
+        with loader:
+            result = evaluate_prediction_batches(
+                iter(loader), lambda f: ev(state, jax.numpy.asarray(f))
+            )
+        results[run] = result
+        print(
+            f"Model: {run} (structure {structure})\n"
+            f" All: {result['n']}, Metrics: CC: {result['cc']:.3f}  "
+            f"SIM: {result['sim']:.3f}   NSS: {result['nss']:.3f}  "
+            f"AUC_Judd: {result['auc_judd']:.3f}   "
+            f"AUC_Borji: {result['auc_borji']:.3f}"
+            f"   (compute dtype: {args.dtype})"
+        )
+    if len(results) > 1:
+        print("\nmodel                                    CC     SIM    NSS    "
+              "AUC_J  AUC_B")
+        for run, r in results.items():
+            print(f"{run:<40} {r['cc']:.3f}  {r['sim']:.3f}  {r['nss']:.3f}  "
+                  f"{r['auc_judd']:.3f}  {r['auc_borji']:.3f}")
+    return 0 if results and not failures else 1
 
 
 def cmd_predict(argv) -> int:
@@ -197,7 +269,9 @@ def cmd_predict(argv) -> int:
     p.add_argument("--model-dir", type=str, default="./model")
     p.add_argument("--data", type=str, required=True, help="video frames root")
     p.add_argument("--out", type=str, required=True, help="output root")
-    p.add_argument("--batch-windows", type=int, default=8)
+    p.add_argument("--batch-windows", type=int, default=16,
+                   help="windows per device step (16 = measured v5e saturation"
+                        " knee, BASELINE.md)")
     args = p.parse_args(argv)
 
     import os
@@ -243,12 +317,32 @@ def cmd_make_video(argv) -> int:
 
 def cmd_eval_dirs(argv) -> int:
     p = argparse.ArgumentParser(prog="sap3d eval-dirs")
-    p.add_argument("--pred", type=str, required=True)
-    p.add_argument("--density", type=str, required=True)
+    p.add_argument("--dsname", type=str, default=None,
+                   help="named dataset (videoset/msu/ledov/hollywood/dhf1k/"
+                        "diem/gazecom/coutort2/svsd — reference "
+                        "eval_vid.py:22-61); resolves --pred/--density/"
+                        "--fixation; roots under $SAP3D_DATA_ROOT")
+    p.add_argument("--pred", type=str, default=None)
+    p.add_argument("--density", type=str, default=None)
     p.add_argument("--fixation", type=str, default=None)
     p.add_argument("--metrics", type=str, nargs="*",
                    default=["cc", "sim", "auc_judd"])
     args = p.parse_args(argv)
+    if args.dsname:
+        from sap3d_tpu.core.config import EVAL_DATASETS
+
+        if args.dsname not in EVAL_DATASETS:
+            print(f"unknown dsname {args.dsname!r}; known: "
+                  f"{sorted(EVAL_DATASETS)}", file=sys.stderr)
+            return 2
+        ds = EVAL_DATASETS[args.dsname]
+        args.pred = args.pred or ds["saliency_dir"]
+        args.density = args.density or ds["density_dir"]
+        args.fixation = args.fixation or ds["fixation_dir"]
+    if not args.pred or not args.density:
+        print("--pred and --density are required (or use --dsname)",
+              file=sys.stderr)
+        return 2
     from sap3d_tpu.eval.evaluator import evaluate_saliency_dirs
 
     results = evaluate_saliency_dirs(

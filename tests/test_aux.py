@@ -33,6 +33,34 @@ def test_config_immutable_defaults():
         cfg.train.lr = 1.0  # frozen dataclass
 
 
+def test_infer_structure_from_run_name():
+    """The eval sweep resolves each run dir's model variant from its name
+    (reference test.py:129-136 parses structure per modelList entry)."""
+    from sap3d_tpu.cli import infer_structure_from_run_name as infer
+
+    assert infer("p3d_unetplusplus_ds_2_0.0001__2026-08-16") == "p3d_unetplusplus_ds"
+    # longest match wins over the "p3d_unetplusplus" prefix
+    assert infer("p3d_unetplusplus_2_0.0001__2026-08-16") == "p3d_unetplusplus"
+    assert infer("unet++_2_0.0001__2026-08-16") == "unet++"
+    assert infer("inference_p3d_sa_concat_2_4_0.0001_x_d") == (
+        "inference_p3d_sa_concat_2"
+    )
+    assert infer("/models/p3d_unet_8_0.001_info_2026-01-01/") == "p3d_unet"
+    assert infer("totally_unrelated") is None
+
+
+def test_eval_datasets_map():
+    """All 9 reference eval_vid.py dataset names resolve to dir triples."""
+    from sap3d_tpu.core.config import EVAL_DATASETS
+
+    assert set(EVAL_DATASETS) == {
+        "videoset", "msu", "ledov", "hollywood", "dhf1k", "diem", "gazecom",
+        "coutort2", "svsd",
+    }
+    for name, ds in EVAL_DATASETS.items():
+        assert set(ds) == {"density_dir", "saliency_dir", "fixation_dir"}, name
+
+
 def test_plot_curves_from_metrics_log(tmp_path):
     logs = tmp_path / "run"
     logs.mkdir()
