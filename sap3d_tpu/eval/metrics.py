@@ -23,12 +23,21 @@ except ImportError:  # pragma: no cover
     cv2 = None
 
 
-def _resize_to(src: np.ndarray, shape: tuple[int, int]) -> np.ndarray:
-    """Bicubic resize to (rows, cols) — stand-in for skimage resize(order=3)."""
+def _resize_to(
+    src: np.ndarray, shape: tuple[int, int], interpolation: int | None = None
+) -> np.ndarray:
+    """Resize to (rows, cols) — stand-in for skimage resize.
+
+    Defaults to bicubic (the reference passes order=3 in AUC_Judd/AUC_Borji/CC,
+    reference utils/metrics.py:56,127,247); NSS passes bilinear because the
+    reference's NSS calls resize() with the skimage default order=1
+    (reference utils/metrics.py:219)."""
     if src.shape == shape:
         return src
+    if interpolation is None:
+        interpolation = cv2.INTER_CUBIC
     return cv2.resize(
-        src.astype(np.float64), (shape[1], shape[0]), interpolation=cv2.INTER_CUBIC
+        src.astype(np.float64), (shape[1], shape[0]), interpolation=interpolation
     )
 
 
@@ -154,11 +163,15 @@ def AUC_shuffled(
 
 
 def NSS(saliency_map: np.ndarray, fixation_map: np.ndarray) -> float:
-    """Mean standardized saliency at fixations (reference metrics.py:200-224)."""
+    """Mean standardized saliency at fixations (reference metrics.py:200-224).
+
+    Resize is bilinear: the reference's NSS is the one metric that calls
+    resize() without order=3 (reference utils/metrics.py:219, skimage default
+    order=1)."""
     s = np.asarray(saliency_map, dtype=np.float64)
     f = np.asarray(fixation_map) > 0.5
     if s.shape != f.shape:
-        s = _resize_to(s, f.shape)
+        s = _resize_to(s, f.shape, interpolation=cv2.INTER_LINEAR)
     s = normalize(s, "standard")
     return float(np.mean(s[f]))
 

@@ -32,6 +32,39 @@ class TrainState:
         )
 
 
+def kernel_mask(params) -> Any:
+    """True for conv/dense ``kernel`` leaves, False elsewhere.
+
+    This is the set the reference regularizes: its l2_reg kernel_regularizer
+    and get_conv_weight weight-decay apply to convolution weights only —
+    never to norm scales (gamma/beta) or biases (reference
+    gn/p3d_gn.py:14-21,54)."""
+
+    def is_kernel(path, _leaf) -> bool:
+        last = path[-1]
+        name = getattr(last, "key", None)
+        return name == "kernel"
+
+    return jax.tree_util.tree_map_with_path(is_kernel, params)
+
+
+def make_optimizer(lr: float, weight_decay: float = 0.0) -> optax.GradientTransformation:
+    """Adam, optionally with COUPLED L2 on kernels only.
+
+    The reference adds ``wd * ||W||^2`` terms to the LOSS (reference
+    gn/p3d_gn.py:14-21,54 builds l2_reg(5e-4) kernel regularizers), i.e. the
+    decay term enters the gradient BEFORE Adam's moment statistics — coupled
+    L2, not AdamW-style decoupled decay.  optax equivalent: add_decayed_weights
+    ahead of scale_by_adam, masked to kernel leaves."""
+    if weight_decay > 0:
+        return optax.chain(
+            optax.masked(optax.add_decayed_weights(weight_decay), kernel_mask),
+            optax.scale_by_adam(),
+            optax.scale(-lr),
+        )
+    return optax.adam(lr)
+
+
 def create_train_state(
     model,
     rng: jax.Array,
@@ -43,11 +76,11 @@ def create_train_state(
 
     Adam(lr) matches the reference optimizer (reference train.py:168; the GN
     trainer also uses Adam despite its "Momentum" banner, reference
-    gn/train_p3d_gn_dataset.py:196).  ``weight_decay`` adds decoupled L2,
-    covering the GN family's 5e-4 regularizers (reference gn/p3d_gn.py:11-22)
-    — off by default for parity with the BN trainer, whose weight-decay
-    collection is built but commented out of the loss (reference
-    train.py:161-162).
+    gn/train_p3d_gn_dataset.py:196).  ``weight_decay`` adds the GN family's
+    coupled L2 on conv kernels only (see make_optimizer; reference
+    gn/p3d_gn.py:14-21,54) — off by default for parity with the BN trainer,
+    whose weight-decay collection is built but commented out of the loss
+    (reference train.py:161-162).
     """
     params_rng, dropout_rng = jax.random.split(rng)
     x = jnp.zeros(input_shape, jnp.float32)
@@ -58,10 +91,7 @@ def create_train_state(
     # plain dict ({} for norm-stat-free models, e.g. the GN family) so the
     # pytree structure is stable across scan carries and checkpoint restores
     batch_stats = unfreeze(variables.get("batch_stats", {}))
-    if weight_decay > 0:
-        tx = optax.adamw(lr, weight_decay=weight_decay)
-    else:
-        tx = optax.adam(lr)
+    tx = make_optimizer(lr, weight_decay)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

@@ -74,6 +74,113 @@ def test_auc_judd_perfect_and_empty():
     assert M.AUC_Judd(fix + 0.0, fix, jitter=False) > 0.97
 
 
+def _auc_borji_reference_loop(saliency_map, fixation_map, n_rep, step_size,
+                              rand_sampler):
+    """Line-for-line port of reference utils/metrics.py:119-154 (range
+    normalize, sampled negatives via the injected sampler, the exact
+    np.r_[0:max:step][::-1] threshold grid, per-threshold tp/fp loops)."""
+    saliency_map = np.array(saliency_map, copy=False)
+    fixation_map = np.array(fixation_map, copy=False) > 0.5
+    if not np.any(fixation_map):
+        return np.nan
+    saliency_map = (saliency_map - saliency_map.min()) / (
+        saliency_map.max() - saliency_map.min()
+    )
+    S = saliency_map.ravel()
+    F = fixation_map.ravel()
+    S_fix = S[F]
+    n_fix = len(S_fix)
+    S_rand = rand_sampler(S, F, n_rep, n_fix)
+    auc = np.zeros(n_rep) * np.nan
+    for rep in range(n_rep):
+        thresholds = np.r_[0:np.max(np.r_[S_fix, S_rand[:, rep]]):step_size][::-1]
+        tp = np.zeros(len(thresholds) + 2)
+        fp = np.zeros(len(thresholds) + 2)
+        tp[0] = 0
+        tp[-1] = 1
+        fp[0] = 0
+        fp[-1] = 1
+        for k, thresh in enumerate(thresholds):
+            tp[k + 1] = np.sum(S_fix >= thresh) / float(n_fix)
+            fp[k + 1] = np.sum(S_rand[:, rep] >= thresh) / float(n_fix)
+        auc[rep] = np.trapezoid(tp, fp)
+    return np.mean(auc)
+
+
+def _seeded_uniform_sampler(seed):
+    def sampler(S, F, n_rep, n_fix):
+        r = np.random.default_rng(seed).integers(
+            0, len(S), size=(n_fix, n_rep)
+        )
+        return S[r]
+
+    return sampler
+
+
+def test_auc_borji_matches_reference_loop():
+    """Element-exact vs the transcription over >= 5 seeds, with the SAME
+    sampled negatives injected into both (the only stochastic input)."""
+    for seed in range(6):
+        sal, fix = _maps(seed)
+        sampler = _seeded_uniform_sampler(seed + 100)
+        got = M.AUC_Borji(sal, fix, n_rep=12, step_size=0.1,
+                          rand_sampler=sampler)
+        want = _auc_borji_reference_loop(sal, fix, 12, 0.1, sampler)
+        assert got == pytest.approx(want, abs=1e-12), seed
+
+
+def test_auc_borji_threshold_grid_edge():
+    """max exactly on a step multiple: np.r_[0:max:step] EXCLUDES the stop,
+    the vectorized arange grid must too."""
+    sal = np.zeros((8, 8))
+    sal[0, 0] = 1.0  # range-normalized max == 1.0 == 10 * 0.1
+    sal[1, 1] = 0.5
+    fix = np.zeros((8, 8))
+    fix[0, 0] = 1
+    fix[1, 1] = 1
+    sampler = _seeded_uniform_sampler(7)
+    got = M.AUC_Borji(sal, fix, n_rep=5, step_size=0.1, rand_sampler=sampler)
+    want = _auc_borji_reference_loop(sal, fix, 5, 0.1, sampler)
+    assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_auc_shuffled_matches_reference_loop():
+    """AUC_shuffled == AUC_Borji with the other-image fixation sampler
+    (reference utils/metrics.py:190-197); oracle gets the identical
+    permutation stream by seeding the same Generator."""
+    for seed in range(5):
+        sal, fix = _maps(seed)
+        _, other = _maps(seed + 50)
+
+        def make_sampler(s):
+            def sample_other(S, F, n_rep, n_fix):
+                # transcription of reference metrics.py:191-196 with seeded rng
+                r = np.random.default_rng(s)
+                fixated = np.nonzero(other.ravel() > 0.5)[0]
+                indexer = [
+                    r.permutation(len(fixated))[:n_fix] for _ in range(n_rep)
+                ]
+                return S[fixated[np.transpose(indexer)]]
+
+            return sample_other
+
+        got = M.AUC_shuffled(sal, fix, other, n_rep=8,
+                             rng=np.random.default_rng(seed + 200))
+        # our implementation must equal Borji-with-other-sampler when fed the
+        # same permutations
+        want = _auc_borji_reference_loop(
+            sal, fix, 8, 0.1, make_sampler(seed + 200)
+        )
+        # independently, the oracle with OUR sampler's exact draws:
+        ours_again = M.AUC_Borji(
+            sal, fix, n_rep=8, step_size=0.1,
+            rand_sampler=make_sampler(seed + 200),
+        )
+        assert ours_again == pytest.approx(want, abs=1e-12), seed
+        # and the public AUC_shuffled entry point agrees (same rng stream)
+        assert got == pytest.approx(want, abs=1e-12), seed
+
+
 def test_auc_borji_range():
     sal, fix = _maps(2)
     v = M.AUC_Borji(sal, fix, n_rep=20, rng=np.random.default_rng(0))

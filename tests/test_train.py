@@ -99,6 +99,39 @@ def test_gn_model_trains(batch):
     assert float(loss) < l0
 
 
+def test_weight_decay_kernels_only():
+    """Weight decay must hit conv/dense kernels ONLY — never norm scales or
+    biases (reference gn/p3d_gn.py:14-21,54 regularizes kernel weights only)
+    — and must be COUPLED (enters the gradient before Adam, like the
+    reference's in-loss L2 terms)."""
+    from sap3d_tpu.train.state import kernel_mask, make_optimizer
+
+    params = {
+        "Conv_0": {"kernel": jnp.ones((3, 3, 4, 8)), "bias": jnp.ones((8,))},
+        "GroupNorm_0": {"scale": jnp.ones((8,)), "bias": jnp.zeros((8,))},
+    }
+    mask = kernel_mask(params)
+    assert mask["Conv_0"]["kernel"] is True
+    assert mask["Conv_0"]["bias"] is False
+    assert mask["GroupNorm_0"]["scale"] is False
+
+    wd, lr = 5e-4, 1e-4
+    tx = make_optimizer(lr, wd)
+    opt_state = tx.init(params)
+    zero_grads = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = tx.update(zero_grads, opt_state, params)
+    # zero gradient: only the decay term moves anything, and only kernels
+    assert float(jnp.abs(updates["Conv_0"]["kernel"]).max()) > 0
+    assert float(jnp.abs(updates["Conv_0"]["bias"]).max()) == 0.0
+    assert float(jnp.abs(updates["GroupNorm_0"]["scale"]).max()) == 0.0
+    assert float(jnp.abs(updates["GroupNorm_0"]["bias"]).max()) == 0.0
+    # coupled: the decayed gradient wd*w goes THROUGH Adam, so the first
+    # update is the Adam-normalized step -lr*g/(sqrt(g^2)+eps) ~= -lr,
+    # NOT AdamW's -lr*wd*w
+    k = float(updates["Conv_0"]["kernel"].ravel()[0])
+    assert abs(k + lr) < lr * 0.1, k
+
+
 def test_dropout_uses_rng(batch):
     """Different dropout rngs must give different training losses."""
     frames, targets = batch
