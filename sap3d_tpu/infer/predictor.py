@@ -23,6 +23,7 @@ transfer into a single pass and keeping the MXU fed with batched clips.
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Sequence
 
 import jax
@@ -47,16 +48,23 @@ class SlidingWindowPredictor:
         self,
         apply_fn: Callable[[jax.Array], jax.Array],
         window: int = 16,
-        batch_windows: int = 8,
+        batch_windows: int = 16,
         image_size: int = 112,
         out_size: tuple[int, int] = (960, 1080),
+        num_threads: int = 16,
     ):
-        """apply_fn: jitted [W, T, H, W, 3] -> [W, T, H, W] saliency."""
+        """apply_fn: jitted [W, T, H, W, 3] -> [W, T, H, W] saliency.
+
+        batch_windows defaults to 16: the measured inference saturation knee
+        on v5e (BASELINE.md batch sweep: 16 -> 539.6, 32 -> 547.9 clips/s).
+        Decoding uses a ``num_threads`` pool (cv2 releases the GIL), matching
+        the training pipeline's parallel decode."""
         self.apply_fn = apply_fn
         self.window = window
         self.batch_windows = batch_windows
         self.image_size = image_size
         self.out_size = out_size
+        self._pool = ThreadPoolExecutor(num_threads, thread_name_prefix="pred-decode")
 
         # Gathering is jitted separately from the model call: apply_fn is
         # typically a jitted closure over the train state, and nesting it
@@ -73,24 +81,41 @@ class SlidingWindowPredictor:
             gather(frames_dev, starts)
         )
 
-    def predict_video(self, frame_paths: Sequence[str]) -> np.ndarray:
+    def decode_video(self, frame_paths: Sequence[str]) -> np.ndarray:
+        """Decode+preprocess a whole video with the thread pool -> [N,H,W,3].
+
+        Each frame is decoded ONCE (vs ~16x in the reference's per-window
+        ring buffer, reference gen_pred.py:110-134)."""
+        paths = _numeric_frame_sort(list(frame_paths))
+        if len(paths) < self.window:
+            return np.zeros(
+                (0, self.image_size, self.image_size, 3), np.float32
+            )
+
+        def one(p):
+            return preprocess_frame(cv2.imread(p, cv2.IMREAD_COLOR), self.image_size)
+
+        return np.stack(list(self._pool.map(one, paths))).astype(np.float32)
+
+    def predict_video(
+        self,
+        frame_paths: Sequence[str] | None = None,
+        frames: np.ndarray | None = None,
+    ) -> np.ndarray:
         """All sliding-window outputs for one video.
 
-        Returns the per-frame saliency maps under the reference emission
-        protocol: index i holds the map emitted for (1-based) frame i+1.
-        Videos shorter than one window return an empty array.
+        Accepts frame paths (decoded here) or an already-decoded [N,H,W,3]
+        array (the overlapped export path decodes video N+1 while the device
+        works on video N).  Returns the per-frame saliency maps under the
+        reference emission protocol: index i holds the map emitted for
+        (1-based) frame i+1.  Videos shorter than one window return an empty
+        array.
         """
-        paths = _numeric_frame_sort(list(frame_paths))
-        n = len(paths)
+        if frames is None:
+            frames = self.decode_video(list(frame_paths))
+        n = frames.shape[0]
         if n < self.window:
             return np.zeros((0, self.image_size, self.image_size), np.float32)
-
-        frames = np.stack(
-            [
-                preprocess_frame(cv2.imread(p, cv2.IMREAD_COLOR), self.image_size)
-                for p in paths
-            ]
-        ).astype(np.float32)
         frames_dev = jax.device_put(frames)
 
         n_windows = n - self.window + 1
@@ -111,8 +136,20 @@ class SlidingWindowPredictor:
                     emitted[s + self.window - 1] = out[j, -1]  # later: last only
         return emitted
 
+    @staticmethod
+    def _video_paths(frame_dir: str) -> list[str]:
+        return [
+            os.path.join(frame_dir, f)
+            for f in os.listdir(frame_dir)
+            if f.endswith(".jpg")
+        ]
+
     def export_video(
-        self, frame_dir: str, save_dir: str, skip_existing: bool = True
+        self,
+        frame_dir: str,
+        save_dir: str,
+        skip_existing: bool = True,
+        frames: np.ndarray | None = None,
     ) -> bool:
         """Predict one video directory and write frame_%d.jpg maps.
 
@@ -120,12 +157,7 @@ class SlidingWindowPredictor:
         """
         if os.path.exists(save_dir) and skip_existing:
             return False
-        paths = [
-            os.path.join(frame_dir, f)
-            for f in os.listdir(frame_dir)
-            if f.endswith(".jpg")
-        ]
-        maps = self.predict_video(paths)
+        maps = self.predict_video(self._video_paths(frame_dir), frames=frames)
         os.makedirs(save_dir, exist_ok=True)
         for i in range(maps.shape[0]):
             img = cv2.resize(maps[i] * 255.0, dsize=self.out_size)
@@ -134,13 +166,34 @@ class SlidingWindowPredictor:
         return True
 
     def export_dataset(self, data_root: str, save_root: str) -> int:
-        """All videos under data_root, sorted (reference gen_pred.py:70-86)."""
+        """All videos under data_root, sorted (reference gen_pred.py:70-86).
+
+        Host/device overlap: while the device runs the windows of video N, a
+        lookahead thread decodes video N+1 (the per-frame decode inside each
+        video is already pooled)."""
         os.makedirs(save_root, exist_ok=True)
-        count = 0
+        todo = []
         for vname in sorted(os.listdir(data_root)):
             vdir = os.path.join(data_root, vname)
             if not os.path.isdir(vdir):
                 continue
-            if self.export_video(vdir, os.path.join(save_root, vname)):
-                count += 1
+            sdir = os.path.join(save_root, vname)
+            if not os.path.exists(sdir):  # skip-existing (gen_pred.py:83-86)
+                todo.append((vdir, sdir))
+        count = 0
+        with ThreadPoolExecutor(1, thread_name_prefix="pred-ahead") as ahead:
+            fut = None
+            for i, (vdir, sdir) in enumerate(todo):
+                frames = (
+                    fut.result() if fut is not None
+                    else self.decode_video(self._video_paths(vdir))
+                )
+                fut = (
+                    ahead.submit(
+                        self.decode_video, self._video_paths(todo[i + 1][0])
+                    )
+                    if i + 1 < len(todo) else None
+                )
+                if self.export_video(vdir, sdir, frames=frames):
+                    count += 1
         return count
