@@ -48,11 +48,41 @@ def _diff_time(run, n_small=3, n_large=13):
     return (t_large - t_small) / (n_large - n_small)
 
 
-def bench_train(batch: int, steps_per_call: int = 4) -> float:
-    """clips/sec for the flagship train step (fwd+bwd+Adam+BN updates).
+def _peak_flops() -> float:
+    """Nominal bf16 peak of the local chip (for MFU).  Overridable via
+    BENCH_PEAK_FLOPS for other parts."""
+    if "BENCH_PEAK_FLOPS" in os.environ:
+        return float(os.environ["BENCH_PEAK_FLOPS"])
+    kind = jax.devices()[0].device_kind.lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 197e12  # TPU v5e bf16
+    if "v5p" in kind or "v5" in kind:
+        return 459e12  # TPU v5p bf16
+    if "v4" in kind:
+        return 275e12
+    return 197e12
+
+
+def _compiled_flops(jitted, *args) -> float | None:
+    """Total FLOPs of the compiled executable per XLA cost analysis."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
+
+
+def bench_train(batch: int, steps_per_call: int = 4):
+    """(clips/sec, MFU) for the flagship train step (fwd+bwd+Adam+BN updates).
 
     Uses the fused multi-step (lax.scan) path, the production configuration —
     it amortizes per-dispatch host latency (+45% on the tunneled v5e).
+    MFU = XLA cost-analysis FLOPs of the compiled SINGLE-step program times K,
+    divided by measured wall time and the chip's nominal bf16 peak.  (The
+    K-step program's own cost analysis counts the lax.scan body once, not K
+    times, so it under-reports by ~K; the single-step program has no loop.)
     """
     model = build_model(FLAGSHIP, dtype="bfloat16")
     k = steps_per_call
@@ -73,11 +103,15 @@ def bench_train(batch: int, steps_per_call: int = 4) -> float:
             state, losses = step(state, frames, targets, key)
         return float(losses[-1])  # host materialization forces completion
 
-    return k * batch / _diff_time(run)
+    sec_per_call = _diff_time(run)
+    single = make_train_step(model, donate=False)
+    flops = _compiled_flops(single, state0, frames[0], targets[0], key)
+    mfu = (flops * k / sec_per_call / _peak_flops()) if flops else None
+    return k * batch / sec_per_call, mfu
 
 
-def bench_infer(batch: int) -> float:
-    """clips/sec for the flagship forward (gen_pred path), input-chained."""
+def bench_infer(batch: int):
+    """(clips/sec, MFU) for the flagship forward (gen_pred path), chained."""
     model = build_model(FLAGSHIP, dtype="bfloat16")
     shape = (batch, 16, 112, 112, 3)
     frames = jnp.asarray(
@@ -100,7 +134,10 @@ def bench_infer(batch: int) -> float:
             f, out = chained(state, f)
         return float(out.reshape(-1)[0])
 
-    return batch / _diff_time(run)
+    sec_per_call = _diff_time(run)
+    flops = _compiled_flops(chained, state, frames)
+    mfu = (flops / sec_per_call / _peak_flops()) if flops else None
+    return batch / sec_per_call, mfu
 
 
 def main():
@@ -110,8 +147,8 @@ def main():
     train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
     infer_batch = int(os.environ.get("BENCH_INFER_BATCH", "16"))
 
-    train_cps = bench_train(train_batch)
-    infer_cps = bench_infer(infer_batch)
+    train_cps, train_mfu = bench_train(train_batch)
+    infer_cps, infer_mfu = bench_infer(infer_batch)
 
     baseline = None
     if os.path.exists(BASELINE_FILE):
@@ -138,7 +175,9 @@ def main():
         "value": round(train_cps, 2),
         "unit": "clips/sec",
         "vs_baseline": round(vs, 3),
+        "train_mfu": round(train_mfu, 3) if train_mfu else None,
         "infer_clips_per_sec": round(infer_cps, 2),
+        "infer_mfu": round(infer_mfu, 3) if infer_mfu else None,
         "train_batch": train_batch,
         "infer_batch": infer_batch,
         "platform": platform,

@@ -89,12 +89,20 @@ BLOCK_Q_BWD = 128
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
     """Recompute-p backward for one query block; dk/dv accumulate across the
     sequential qi grid axis (their output block is qi-invariant, so Pallas
-    keeps it resident in VMEM for the whole b-row of the grid)."""
+    keeps it resident in VMEM for the whole b-row of the grid).
+
+    All five matmuls feed the MXU bf16 operands (fp32 MXU passes are ~8x
+    slower); accumulation and the softmax/vjp arithmetic stay fp32, and the
+    dk/dv cross-block accumulators are fp32 VMEM.  bf16 rounding of p/ds
+    before their matmuls is the standard flash-attention backward precision
+    (gradients tolerate it; parity-tested vs the XLA fp32-chunked path in
+    tests/test_pallas_attention.py).
+    """
     qi = pl.program_id(1)
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
-    do = do_ref[0].astype(jnp.float32)
+    do = do_ref[0]
 
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -102,14 +110,15 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
     )
     p = jax.nn.softmax(s, axis=-1)  # [BQ, Nk] f32
     dp = jax.lax.dot_general(
-        do, v.astype(jnp.float32),
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [BQ, Nk]
+    )  # [BQ, Nk] f32
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # softmax vjp
+    ds_lo = ds.astype(k.dtype)
+    p_lo = p.astype(v.dtype)
 
     dq_ref[0] = jnp.dot(
-        ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+        ds_lo, k, preferred_element_type=jnp.float32
     ).astype(dq_ref.dtype)
 
     @pl.when(qi == 0)
@@ -118,12 +127,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
     dk_ref[0] += jax.lax.dot_general(
-        ds, q.astype(jnp.float32),
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        ds_lo, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dv_ref[0] += jax.lax.dot_general(
-        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        p_lo, do, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 

@@ -30,8 +30,43 @@ def loss_fn_saliency(pred: jax.Array, target: jax.Array) -> jax.Array:
     return smooth_l1_loss(pred, target, 1.0, 1.0, sigma=1.0)
 
 
+def fast_dropout_key(rng: jax.Array) -> jax.Array:
+    """Re-wrap an incoming PRNG key as an ``rbg``-impl key for dropout.
+
+    The flagship's dropout site is full-resolution ([B,8,56,56,128] at x_1_3)
+    — with the default threefry generator the mask bits alone cost ~6% of the
+    train step on TPU (BASELINE.md round-2 ablations).  The ``rbg`` impl
+    keeps threefry-quality split/fold_in semantics but generates the bits
+    with the hardware-accelerated XLA RngBitGenerator, which is effectively
+    free.  Dropout only needs an independent stream per step, not
+    cryptographic bits, so this changes the random stream (any fixed seed
+    produces a different but equally valid mask sequence) and nothing else.
+    """
+    if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
+        rng = jax.random.key_data(rng)
+    data = jnp.resize(rng.astype(jnp.uint32), (4,))
+    return jax.random.wrap_key_data(data, impl="rbg")
+
+
+def cpu_collective_patience(seconds: int = 1800) -> dict | None:
+    """XLA compiler options that stop the CPU backend's collective rendezvous
+    watchdog from aborting slow virtual-device runs.
+
+    With N virtual host devices on few cores (the TPU-less sharding-test
+    setup, SURVEY.md section 4), all N per-device threads share the machine;
+    a heavyweight program can keep one participant away from an all-reduce
+    for longer than the backend's default 40s termination timeout, which
+    kills the process.  Returns None on real backends (TPU collectives have
+    their own timeouts) so production compiles are untouched.
+    """
+    if jax.default_backend() != "cpu":
+        return None
+    return {"xla_cpu_collective_call_terminate_timeout_seconds": int(seconds)}
+
+
 def make_train_step(
-    model, mesh: Mesh | None = None, donate: bool = True, state_sharding=None
+    model, mesh: Mesh | None = None, donate: bool = True, state_sharding=None,
+    compiler_options: dict | None = None,
 ) -> Callable:
     """Returns train_step(state, frames, targets, rng) -> (state, loss).
 
@@ -46,12 +81,14 @@ def make_train_step(
     """
 
     def step(state: TrainState, frames, targets, rng):
+        drop_rng = fast_dropout_key(rng)
+
         def loss_of(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 frames,
                 train=True,
-                rngs={"dropout": rng},
+                rngs={"dropout": drop_rng},
                 mutable=["batch_stats"],
             )
             return loss_fn_saliency(out, targets), dict(mutated.get("batch_stats", {}))
@@ -63,7 +100,11 @@ def make_train_step(
         return state, loss
 
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0,) if donate else ())
+        return jax.jit(
+            step,
+            donate_argnums=(0,) if donate else (),
+            compiler_options=compiler_options,
+        )
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
@@ -73,12 +114,13 @@ def make_train_step(
         in_shardings=(st, data, data, repl),
         out_shardings=(st, repl),
         donate_argnums=(0,) if donate else (),
+        compiler_options=compiler_options,
     )
 
 
 def make_multi_train_step(
     model, steps_per_call: int, mesh: Mesh | None = None, donate: bool = True,
-    state_sharding=None,
+    state_sharding=None, compiler_options: dict | None = None,
 ) -> Callable:
     """K train steps fused into one dispatch via lax.scan.
 
@@ -91,13 +133,14 @@ def make_multi_train_step(
 
     def one(state: TrainState, xs):
         frames, targets, rng = xs
+        drop_rng = fast_dropout_key(rng)
 
         def loss_of(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 frames,
                 train=True,
-                rngs={"dropout": rng},
+                rngs={"dropout": drop_rng},
                 mutable=["batch_stats"],
             )
             return loss_fn_saliency(out, targets), dict(mutated.get("batch_stats", {}))
@@ -115,7 +158,11 @@ def make_multi_train_step(
         return jax.lax.scan(one, state, (frames, targets, rngs))
 
     if mesh is None:
-        return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
+        return jax.jit(
+            multi_step,
+            donate_argnums=(0,) if donate else (),
+            compiler_options=compiler_options,
+        )
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(None, "data"))
     st = state_sharding if state_sharding is not None else repl
@@ -124,19 +171,28 @@ def make_multi_train_step(
         in_shardings=(st, data, data, repl),
         out_shardings=(st, repl),
         donate_argnums=(0,) if donate else (),
+        compiler_options=compiler_options,
     )
 
 
 def make_eval_step(model, mesh: Mesh | None = None) -> Callable:
     """Returns eval_step(state, frames) -> pred [B,T,H,W] (no dropout, BN
-    running averages — reference train.py:226 feeds training=False, dropout=0)."""
+    running averages — reference train.py:226 feeds training=False, dropout=0).
+
+    When the model was built with ``bn_reference_quirk=True`` (reference-
+    faithful inference: bottleneck BNs on batch statistics, see
+    models/p3d.py:Bottleneck), the quirk path recomputes batch stats, so
+    batch_stats is made mutable and the update discarded."""
+    quirk = bool(getattr(model, "bn_reference_quirk", False))
 
     def step(state: TrainState, frames):
-        out = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            frames,
-            train=False,
-        )
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if quirk:
+            out, _ = model.apply(
+                variables, frames, train=False, mutable=["batch_stats"]
+            )
+        else:
+            out = model.apply(variables, frames, train=False)
         return jnp.squeeze(out, axis=-1)
 
     if mesh is None:

@@ -67,6 +67,31 @@ def test_flash_backward_matches_reference():
         )
 
 
+def test_flash_backward_bf16_matches_reference():
+    """bf16 operands exercise the kernel's low-precision matmul path
+    (p/ds rounded to bf16 before the MXU, fp32 accumulation)."""
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.normal(size=(1, 256, 8)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(1, 32, 8)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(1, 32, 16)), jnp.bfloat16)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attend_tokens(q, k, v).astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref(q, k, v).astype(jnp.float32) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_flash, g_ref):
+        gf = np.asarray(gf, np.float32)
+        gr = np.asarray(gr, np.float32)
+        # bf16 rounding noise scales with the leaf's magnitude
+        tol = 0.05 * np.abs(gr).max()
+        np.testing.assert_allclose(gf, gr, atol=tol)
+
+
 def test_viability_heuristic():
     # x_2_2 site bf16: Nq=Nk=3136, d=32, C=256 — should qualify
     assert flash_attention_viable(3136, 3136, 32, 256, itemsize=2)
