@@ -180,12 +180,22 @@ def cmd_eval(argv) -> int:
     _add_common_model_flags(p, dtype="float32")
     _add_data_flags(p)
     p.add_argument("--batch", type=int, default=2)
-    p.add_argument("--checkpoint", type=str, required=True, nargs="+",
+    p.add_argument("--checkpoint", type=str, nargs="+", default=[],
                    help="run directory name(s) under --model-dir; globs "
                         "allowed — every match is evaluated in one invocation"
                         " (reference test.py's modelList sweep)")
     p.add_argument("--model-dir", type=str, default="./model")
+    p.add_argument("--tf-checkpoint", type=str, default=None,
+                   help="evaluate a reference TF1 checkpoint directly "
+                        "(interop/tf_import.py); variant from --structure")
+    p.add_argument("--bn-quirk", action="store_true",
+                   help="reference-faithful inference: bottleneck BNs use "
+                        "batch statistics (the reference never forwards its "
+                        "training flag into make_block, p3d.py:290-303); "
+                        "implied by --tf-checkpoint")
     args = p.parse_args(argv)
+    if not args.checkpoint and not args.tf_checkpoint:
+        p.error("one of --checkpoint / --tf-checkpoint is required")
 
     import glob as globlib
 
@@ -222,18 +232,51 @@ def cmd_eval(argv) -> int:
                    data.image_size, 3)
     results: dict[str, dict] = {}
     failures = 0
-    for run in runs:
-        structure = infer_structure_from_run_name(run) or args.structure
-        model = build_model(resolve_name(structure), dtype=args.dtype)
+
+    if args.tf_checkpoint:
+        # reference-TF1-checkpoint workflow (reference test.py:138-154):
+        # import the Saver checkpoint and evaluate it with the reference's
+        # exact inference semantics (bottleneck BNs on batch statistics).
+        from sap3d_tpu.interop.tf_import import (
+            import_checkpoint,
+            validate_against_model,
+        )
+
+        structure = resolve_name(args.structure)
+        model = build_model(
+            structure, dtype=args.dtype, bn_reference_quirk=True
+        )
         state = create_train_state(
             model, jax.random.PRNGKey(0), input_shape=input_shape
         )
-        state, ok = try_restore_latest(state, os.path.join(args.model_dir, run))
-        if not ok:
-            print(f"no checkpoint found under {args.model_dir}/{run}",
-                  file=sys.stderr)
-            failures += 1
-            continue
+        variables = import_checkpoint(structure, args.tf_checkpoint)
+        validate_against_model(variables, model, input_shape)
+        state = state.replace(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", state.batch_stats),
+        )
+        runs.insert(0, ("tf:" + args.tf_checkpoint, structure, model, state))
+
+    for run in runs:
+        if isinstance(run, tuple):  # pre-loaded TF-import entry
+            run, structure, model, state = run
+        else:
+            structure = infer_structure_from_run_name(run) or args.structure
+            model = build_model(
+                resolve_name(structure), dtype=args.dtype,
+                bn_reference_quirk=args.bn_quirk,
+            )
+            state = create_train_state(
+                model, jax.random.PRNGKey(0), input_shape=input_shape
+            )
+            state, ok = try_restore_latest(
+                state, os.path.join(args.model_dir, run)
+            )
+            if not ok:
+                print(f"no checkpoint found under {args.model_dir}/{run}",
+                      file=sys.stderr)
+                failures += 1
+                continue
         ev = make_eval_step(model)
         loader = ClipLoader(
             idx.valid_clips(with_fixations=True), args.batch,

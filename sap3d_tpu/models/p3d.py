@@ -92,9 +92,20 @@ class Bottleneck(nn.Module):
     use_cbam: bool = False
     dtype: jnp.dtype | None = None
     axis_name: str | None = None
+    # Reference-faithful inference quirk: the reference never forwards its
+    # `training` flag into make_block/Bottleneck (reference p3d.py:141,148 —
+    # both default training=True and the builders at p3d.py:290-303 omit it),
+    # so every BOTTLENECK BatchNorm normalizes with batch statistics even at
+    # inference, while the stem/decoder BNs honor the flag.  Enable to
+    # reproduce reference saliency maps bit-for-bit from imported TF
+    # checkpoints (tests/test_tf_import.py); off by default — running
+    # averages at eval are the sane semantics.
+    bn_reference_quirk: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        if self.bn_reference_quirk and self.norm_mode == "bn":
+            train = True  # norm layers only; this module has no dropout
         norm = lambda name: Norm(  # noqa: E731
             self.norm_mode, dtype=self.dtype, axis_name=self.axis_name, name=name
         )
@@ -168,6 +179,9 @@ class P3DEncoder(nn.Module):
     # Overridable for tiny test/bench models; (planes, num_blocks) per stage.
     stages: tuple = _STAGES
     stem_features: int = 64
+    # See Bottleneck.bn_reference_quirk (bottleneck BNs only; the stem BN
+    # honors `train` in the reference too, p3d.py:284).
+    bn_reference_quirk: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> dict[str, jax.Array]:
@@ -198,6 +212,7 @@ class P3DEncoder(nn.Module):
                     use_cbam=self.use_cbam,
                     dtype=self.dtype,
                     axis_name=self.axis_name,
+                    bn_reference_quirk=self.bn_reference_quirk,
                     name=f"stage{stage_idx + 1}_block{block_idx}",
                 )(h, train)
                 n_s += 1
@@ -525,6 +540,10 @@ class P3DSaliency(nn.Module):
     # Overridable for tiny test/bench models.
     stages: tuple = _STAGES
     stem_features: int = 64
+    # Reference-faithful inference: bottleneck BNs normalize with batch
+    # statistics even at eval (see Bottleneck.bn_reference_quirk).  Apply
+    # with mutable=["batch_stats"] (and discard) when enabling at eval.
+    bn_reference_quirk: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -534,6 +553,7 @@ class P3DSaliency(nn.Module):
             norm_mode=self.norm_mode, use_cbam=self.backbone_cbam,
             dtype=self.dtype, axis_name=self.axis_name, name="encoder",
             stages=self.stages, stem_features=self.stem_features,
+            bn_reference_quirk=self.bn_reference_quirk,
         )(x, train)
         dec_cls = _DECODERS[self.decoder]
         out = dec_cls(

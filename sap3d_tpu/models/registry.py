@@ -121,10 +121,17 @@ def build_model(
     dtype: jnp.dtype | str | None = None,
     dropout_rate: float = 0.5,
     axis_name: str | None = None,
+    bn_reference_quirk: bool = False,
 ) -> P3DSaliency:
+    """``bn_reference_quirk=True`` reproduces the reference's inference
+    behavior exactly: bottleneck BNs normalize with batch statistics even at
+    eval, because the reference never forwards its training flag into
+    make_block/Bottleneck (reference p3d.py:141,148,290-303).  Needed for
+    output parity with imported TF checkpoints; off by default."""
     cfg = dict(MODEL_REGISTRY[resolve_name(name)])
     if isinstance(dtype, str):
         dtype = None if dtype in ("float32", "f32") else jnp.dtype(dtype)
     return P3DSaliency(
-        **cfg, dropout_rate=dropout_rate, dtype=dtype, axis_name=axis_name
+        **cfg, dropout_rate=dropout_rate, dtype=dtype, axis_name=axis_name,
+        bn_reference_quirk=bn_reference_quirk,
     )

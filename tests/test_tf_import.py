@@ -1,0 +1,195 @@
+"""Weight-level parity: reference TF checkpoint -> flax import -> same output.
+
+The gold test here BUILDS THE REFERENCE GRAPH ITSELF (reference p3d.py, run
+under tf.compat.v1 with a 2-line tf.contrib shim), random-initializes it,
+saves a real TF1 Saver checkpoint, imports it with
+sap3d_tpu.interop.tf_import, and asserts the rebuilt model produces the same
+saliency map for the same input.  That exercises, end to end:
+  * every encoder/decoder weight mapping (names, creation-order BN numbering);
+  * the conv3d_transpose kernel transform (spatial flip + in/out swap);
+  * TF-SAME conv/pool padding parity at odd intermediate sizes;
+  * BatchNorm epsilon/momentum parity (eps=1e-3 matters at init: var=1).
+
+The variant under test is p3d_unetplusplus_nonsa — the one reference graph
+whose forward is runnable under Python 3 (the `attention` helper at reference
+utils/network.py:188-190 computes float shapes via py2 division, so the SA
+variants' reference forwards cannot execute; their extra SA mappings are
+covered structurally by test_mapping_covers_model below).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+# tf.compat.v1.layers (which the reference graphs are built from) is backed by
+# legacy Keras; with Keras 3 it only exists when routed to tf_keras.
+os.environ.setdefault("TF_USE_LEGACY_KERAS", "True")
+tf_mod = pytest.importorskip("tensorflow")
+pytest.importorskip("tf_keras")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from sap3d_tpu.interop.tf_import import (  # noqa: E402
+    import_checkpoint,
+    map_tf_variables,
+    validate_against_model,
+    variable_mapping,
+)
+from sap3d_tpu.models.registry import build_model  # noqa: E402
+
+REF = "/root/reference"
+SHAPE = (1, 16, 48, 48, 3)  # odd intermediate spatial sizes (48->3) on purpose
+
+
+@pytest.fixture(scope="module")
+def ref_p3d():
+    """Import the reference graph builders under tf.compat.v1."""
+    tf1 = tf_mod.compat.v1
+    tf1.disable_v2_behavior()
+    if not hasattr(tf1, "contrib"):  # TF2 removed contrib; shim the 3 uses
+        tf1.contrib = types.SimpleNamespace(
+            layers=types.SimpleNamespace(
+                xavier_initializer=lambda: tf1.glorot_uniform_initializer(),
+                variance_scaling_initializer=(
+                    lambda: tf1.variance_scaling_initializer()
+                ),
+                l2_regularizer=(
+                    lambda wd, scope=None: tf_mod.keras.regularizers.L2(wd)
+                ),
+            )
+        )
+    sys.dont_write_bytecode = True  # /root/reference is read-only
+    # /root/reference for `utils.network`; its utils/ dir so gn/p3d_gn.py's
+    # `from network import *` resolves; its gn/ dir for p3d_gn itself.
+    paths = [REF, f"{REF}/utils", f"{REF}/gn"]
+    for p in paths:
+        sys.path.insert(0, p)
+    old_tf = sys.modules.get("tensorflow")
+    sys.modules["tensorflow"] = tf1
+    try:
+        import importlib
+
+        importlib.import_module("utils.network")
+        # p3d.py is Python 2 (a bare `print "..."` statement at p3d.py:398);
+        # exec it with that single mechanical syntax normalization.
+        import re
+
+        with open(f"{REF}/p3d.py") as f:
+            src = re.sub(r'print ("[^"]*")', r"print(\1)", f.read())
+        p3d_ref = types.ModuleType("ref_p3d")
+        exec(compile(src, f"{REF}/p3d.py", "exec"), p3d_ref.__dict__)
+        p3d_gn_ref = importlib.import_module("p3d_gn")
+    finally:
+        sys.modules["tensorflow"] = old_tf
+        for p in paths:
+            sys.path.remove(p)
+    return tf1, p3d_ref, p3d_gn_ref
+
+
+def test_mapping_covers_model():
+    """For every supported variant, the mapping's flax paths/collections are
+    exactly the model's own variable tree (shapes checked where derivable)."""
+    for name in ["p3d_unet", "p3d_concat", "p3d_unetplusplus",
+                 "p3d_unetplusplus_ds", "p3d_unetplusplus_nonsa",
+                 "inference_p3d", "inference_p3d_concat",
+                 "inference_p3d_decoder_block"]:
+        entries = variable_mapping(name)
+        tf_names = [e.tf_name for e in entries]
+        assert len(set(tf_names)) == len(tf_names), f"{name}: dup TF names"
+        model = build_model(name)
+        # fabricate arrays of the right shapes from the model's own tree,
+        # inverse-transform them to TF layout, and round-trip the mapping
+        ref = jax.eval_shape(
+            lambda m=model: m.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)},
+                jnp.zeros((1, 16, 16, 16, 3), jnp.float32),
+                train=False,
+            )
+        )
+        flat = {
+            tuple(p.key for p in path): leaf
+            for path, leaf in jax.tree_util.tree_flatten_with_path(ref)[0]
+        }
+        fake = {}
+        for e in entries:
+            shape = flat[(e.collection,) + e.path].shape
+            if e.transform == "tconv":  # TF layout has out/in swapped
+                shape = shape[:3] + (shape[4], shape[3])
+            fake[e.tf_name] = np.zeros(shape, np.float32)
+        variables = map_tf_variables(name, fake)
+        validate_against_model(variables, model, (1, 16, 16, 16, 3))
+
+
+def test_unsupported_variant_raises():
+    with pytest.raises(NotImplementedError):
+        variable_mapping("inference_p3d_sa_concat")
+
+
+def _roundtrip(tmp_path, tf1, build_ref_graph, model_name, atol):
+    rng = np.random.default_rng(0)
+    x = (rng.normal(size=SHAPE) * 0.3).astype(np.float32)
+
+    graph = tf1.Graph()
+    with graph.as_default():
+        tf1.set_random_seed(7)
+        xin = tf1.placeholder(tf1.float32, SHAPE)
+        out = build_ref_graph(xin)
+        saver = tf1.train.Saver()
+        with tf1.Session(graph=graph) as sess:
+            sess.run(tf1.global_variables_initializer())
+            y_ref = sess.run(out, {xin: x})
+            ckpt = saver.save(sess, str(tmp_path / "ref.ckpt"))
+
+    variables = import_checkpoint(model_name, ckpt)
+    # bn_reference_quirk: the reference runs its bottleneck BNs on batch
+    # statistics even at inference (training flag never forwarded into
+    # make_block, reference p3d.py:141,148,290-303) — reproduce that here;
+    # the quirk path computes batch stats, so batch_stats must be mutable.
+    model = build_model(model_name, bn_reference_quirk=True)  # fp32
+    validate_against_model(variables, model, SHAPE)
+    y, _ = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x),
+        train=False,
+        mutable=["batch_stats"],
+    )
+    y = np.asarray(y)
+    assert y.shape == y_ref.shape
+    # Absolute tolerance scaled to the output range: fp32 noise is amplified
+    # smoothly through ~200 layers of norm divisions (measured growth: stage
+    # boundaries at 1e-5 -> 9e-3 rel over the 47 blocks) — a structural
+    # import error produces ~full-scale divergence instead (0.09 post-sigmoid
+    # was measured for a single mis-modeled norm mode).
+    scale = float(y_ref.max() - y_ref.min())
+    np.testing.assert_allclose(y, y_ref, atol=atol * max(scale, 1e-6))
+    r = np.corrcoef(y.ravel(), y_ref.ravel())[0, 1]
+    assert r > 0.9999, r
+
+
+def test_reference_checkpoint_roundtrip_bn(tmp_path, ref_p3d):
+    tf1, p3d_ref, _ = ref_p3d
+    _roundtrip(
+        tmp_path, tf1,
+        lambda xin: p3d_ref.p3d_unetplusplus_nonsa(
+            xin, 0.5, batch_size=1, training=False),
+        "p3d_unetplusplus_nonsa", atol=1e-2,  # of the output range
+    )
+
+
+def test_reference_checkpoint_roundtrip_gn_cbam(tmp_path, ref_p3d):
+    """GN+CBAM family: exercises the interleaved group_norm creation-order
+    counter and the CBAM mlp/conv mappings.  Output is LINEAR (reference
+    gn/p3d_gn.py:258), so the tolerance is relative to its range."""
+    tf1, _, p3d_gn_ref = ref_p3d
+    _roundtrip(
+        tmp_path, tf1,
+        lambda xin: p3d_gn_ref.inference_p3d(
+            xin, 0.5, batch_size=1, training=False),
+        "inference_p3d", atol=5e-2,
+    )
