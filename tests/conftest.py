@@ -15,9 +15,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # 8 virtual devices time-share the host cores; on a small machine a
+    # full-width program can hold one all-reduce participant back past the
+    # backend's default 40s rendezvous watchdog, which aborts the process.
+    flags = (
+        flags + " --xla_cpu_collective_call_terminate_timeout_seconds=1800"
     ).strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
