@@ -57,14 +57,15 @@ def _dot_softmax_attend(
     passes on the MXU with fp32 accumulation) is right for model compute —
     pass HIGHEST only when verifying numerics.
     """
+    acc = jnp.promote_types(q.dtype, jnp.float32)  # f32, or f64 under x64
     scores = jnp.einsum(
-        "bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32,
+        "bqc,bkc->bqk", q, k, preferred_element_type=acc,
         precision=precision,
     )
     beta = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
         "bqk,bkc->bqc", beta.astype(v.dtype), v,
-        preferred_element_type=jnp.float32, precision=precision,
+        preferred_element_type=acc, precision=precision,
     )
     return out.astype(v.dtype)
 
@@ -210,11 +211,12 @@ class NonLocal3D(nn.Module):
         q = _flatten_tokens(theta)  # [B, Nq, inter]
         k = _flatten_tokens(phi)  # [B, Nk, inter]
         v = _flatten_tokens(g_x)  # [B, Nk, inter]
-        scores = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
+        acc = jnp.promote_types(q.dtype, jnp.float32)
+        scores = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=acc)
         scores = scores / np.float32(k.shape[1])
         y = jnp.einsum(
             "bqk,bkc->bqc", scores.astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc,
         ).astype(x.dtype)
         y = y.reshape(b, d, h_dim, w, inter)
         y = nn.Conv(

@@ -22,13 +22,14 @@ MICRO_STAGES = ((8, 1), (16, 1), (32, 1))
 SHAPE = (4, 16, 16, 16, 3)
 
 
-def micro_model():
+def micro_model(dropout_rate: float = 0.5):
     return P3DSaliency(
         decoder="unetpp",
         decoder_kwargs=dict(attention="sa", head="ds"),
         norm_mode="bn",
         stages=MICRO_STAGES,
         stem_features=8,
+        dropout_rate=dropout_rate,
     )
 
 
@@ -61,7 +62,7 @@ def test_tp_train_step_runs_and_matches(setup):
 
     # replicated single-device reference
     step_ref = make_train_step(model, donate=False)
-    _, loss_ref = step_ref(state, frames, targets, key)
+    state_ref, loss_ref = step_ref(state, frames, targets, key)
 
     shardings = state_shardings(state, mesh, min_features=128)
     state_tp = apply_state_sharding(state, shardings)
@@ -84,3 +85,42 @@ def test_tp_train_step_runs_and_matches(setup):
         if p.ndim >= 2 and p.shape[-1] >= 128
     ]
     assert any(not w.sharding.is_fully_replicated for w in wide_after)
+
+    # tree-wide GRADIENT parity between the hybrid-sharded and replicated
+    # programs (strictly stronger than post-Adam params, which carry ~one
+    # bit per element), referenced to a float64 oracle of the same function
+    # so reduction-order noise is measured, not guessed (tests/_asserts.py).
+    # Dropout is off for this check so the x32 and x64 programs compute the
+    # same mathematical function (random bits differ across float widths);
+    # the full train step WITH dropout is loss-parity-checked above.
+    from jax.sharding import NamedSharding
+
+    from _asserts import assert_grads_match
+    from sap3d_tpu.train.steps import loss_fn_saliency
+
+    nodrop = micro_model(dropout_rate=0.0)
+
+    def loss_of(params, f, t):
+        out, _ = nodrop.apply(
+            {"params": params, "batch_stats": state.batch_stats}, f,
+            train=True, mutable=["batch_stats"],
+        )
+        return loss_fn_saliency(out, t)
+
+    data_sh = NamedSharding(mesh, P("data"))
+    g_ref = jax.jit(jax.grad(loss_of))(state.params, frames, targets)
+    g_tp = jax.jit(
+        jax.grad(loss_of), in_shardings=(shardings.params, data_sh, data_sh)
+    )(apply_state_sharding(state, shardings).params,
+      jax.device_put(frames, data_sh), jax.device_put(targets, data_sh))
+    jax.config.update("jax_enable_x64", True)
+    try:
+        to64 = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: np.asarray(x, np.float64), jax.device_get(t))
+        g_hi = jax.jit(jax.grad(loss_of))(
+            to64(state.params), to64(frames), to64(targets)
+        )
+        g_hi = jax.device_get(g_hi)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    assert_grads_match(g_tp, g_ref, g_hi)

@@ -19,13 +19,14 @@ from sap3d_tpu.train.steps import loss_fn_saliency
 MICRO_STAGES = ((8, 1), (16, 1), (32, 1))
 
 
-def micro_model():
+def micro_model(dropout_rate: float = 0.5):
     return P3DSaliency(
         decoder="unetpp",
         decoder_kwargs=dict(attention="sa", head="ds"),
         norm_mode="bn",
         stages=MICRO_STAGES,
         stem_features=8,
+        dropout_rate=dropout_rate,
     )
 
 
@@ -58,8 +59,17 @@ def test_time_sharded_long_clip_matches_replicated():
 
 
 def test_time_sharded_gradients():
-    """Backward also works under time sharding (training long clips)."""
-    model = micro_model()
+    """Backward also works under time sharding (training long clips).
+
+    Tree-wide comparison: temporal-halo bugs would surface in conv kernels
+    anywhere in the network, not just in the first leaf.  The check is
+    referenced to a float64 oracle so reduction-order noise is measured
+    rather than guessed (tests/_asserts.py); dropout is off so the x32 and
+    x64 programs compute the same mathematical function.
+    """
+    from _asserts import assert_grads_match
+
+    model = micro_model(dropout_rate=0.0)
     T = 32
     shape = (1, T, 16, 16, 3)
     state = create_train_state(model, jax.random.PRNGKey(0), input_shape=shape)
@@ -71,19 +81,25 @@ def test_time_sharded_gradients():
     tsh = time_sharding(mesh)
     repl = NamedSharding(mesh, P())
 
-    def loss(params, f):
+    def loss(params, f, t):
         out, _ = model.apply(
             {"params": params, "batch_stats": state.batch_stats}, f,
-            train=True, rngs={"dropout": jax.random.PRNGKey(2)},
-            mutable=["batch_stats"],
+            train=True, mutable=["batch_stats"],
         )
-        return loss_fn_saliency(out, targets)
+        return loss_fn_saliency(out, t)
 
-    g_sh = jax.jit(jax.grad(loss), in_shardings=(repl, tsh))(
-        state.params, jax.device_put(frames, tsh)
+    g_sh = jax.jit(jax.grad(loss), in_shardings=(repl, tsh, repl))(
+        state.params, jax.device_put(frames, tsh), targets
     )
-    g_ref = jax.jit(jax.grad(loss))(state.params, frames)
-    a = jax.tree.leaves(g_sh)[0]
-    b = jax.tree.leaves(g_ref)[0]
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
-                               atol=1e-4)
+    g_ref = jax.jit(jax.grad(loss))(state.params, frames, targets)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        to64 = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: np.asarray(x, np.float64), jax.device_get(t))
+        g_hi = jax.jit(jax.grad(loss))(
+            to64(state.params), to64(frames), to64(targets)
+        )
+        g_hi = jax.device_get(g_hi)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    assert_grads_match(g_sh, g_ref, g_hi)
