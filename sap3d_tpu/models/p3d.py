@@ -60,7 +60,14 @@ def _conv(features, kernel, strides=1, use_bias=True, dtype=None, name=None):
 
 
 def _tconv(features, kernel, strides, use_bias=True, dtype=None, name=None):
-    """Plain conv3d_transpose, SAME padding (output = input * stride)."""
+    """Plain conv3d_transpose, SAME padding (output = input * stride).
+
+    Deliberately nn.ConvTranspose (input-dilated lowering): the
+    phase-decomposed alternative (ops/fast_tconv.py) wins in isolation
+    (2.3ms vs 3.4ms for the up_2_0 shape) but LOSES in the full program —
+    XLA fuses the dilated conv with the following norm/concat, while the
+    phase version's interleave transposes break fusion (measured 115.4 vs
+    109.5 ms/step, BASELINE.md round 2)."""
     if isinstance(kernel, int):
         kernel = (kernel,) * 3
     if isinstance(strides, int):

@@ -102,6 +102,27 @@ def _flatten_tokens(x: jax.Array) -> jax.Array:
     return x.reshape(b, -1, x.shape[-1])
 
 
+class _ProjParams(nn.Module):
+    """Parameter-only twin of a 1x1x1 nn.Conv (kernel+bias, same shapes,
+    same init, same scope name) — lets SelfAttention3D fuse the f/g/h
+    projections into one GEMM while keeping the checkpoint tree identical
+    to three separate convs."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", glorot(), (1, 1, 1, self.in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
 class SelfAttention3D(nn.Module):
     """SAGAN-style global self-attention over D*H*W tokens.
 
@@ -123,15 +144,35 @@ class SelfAttention3D(nn.Module):
         b, d, h_dim, w, c = x.shape
         inter = max(1, c // 8)
 
-        def conv1(feat, name):
-            return nn.Conv(
-                feat, (1, 1, 1), padding="SAME", kernel_init=glorot(),
-                dtype=self.dtype, name=name,
-            )(x)
-
-        f = conv1(inter, "f")  # keys
-        g = conv1(inter, "g")  # queries
-        hv = conv1(c, "h")  # values
+        # The f/g/h 1x1x1 projections are computed as ONE fused GEMM
+        # (c -> inter+inter+c) and split: three separate convs would read
+        # the full-resolution input three times and run the narrow f/g
+        # outputs (c/8 columns) at poor MXU utilization.  The parameters
+        # stay three separate submodules ("f"/"g"/"h", kernel+bias, same
+        # init) so checkpoints and the TF importer are unaffected.
+        kf, bf = _ProjParams(inter, c, name="f")()
+        kg, bg = _ProjParams(inter, c, name="g")()
+        kh, bh = _ProjParams(c, c, name="h")()
+        w_cat = jnp.concatenate([kf, kg, kh], axis=-1)[0, 0, 0]  # [c, 2i+c]
+        b_cat = jnp.concatenate([bf, bg, bh])
+        if self.dtype is not None:
+            xc = x.astype(self.dtype)
+            w_cat = w_cat.astype(self.dtype)
+            b_cat = b_cat.astype(self.dtype)
+        else:
+            xc = x
+            w_cat = w_cat.astype(x.dtype)
+            b_cat = b_cat.astype(x.dtype)
+        fgh = (
+            jnp.einsum(
+                "bdhwc,co->bdhwo", xc, w_cat,
+                preferred_element_type=jnp.promote_types(xc.dtype, jnp.float32),
+            ).astype(xc.dtype)
+            + b_cat
+        )
+        f = fgh[..., :inter]  # keys
+        g = fgh[..., inter:2 * inter]  # queries
+        hv = fgh[..., 2 * inter:]  # values
         if self.subsample:
             f = pool3d(f, self.sub_size)
             hv = pool3d(hv, self.sub_size)

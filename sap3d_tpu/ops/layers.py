@@ -184,6 +184,8 @@ class TransposeConvNormRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        # nn.ConvTranspose on purpose — see models/p3d.py:_tconv for the
+        # measured comparison against the phase-decomposed alternative.
         x = nn.ConvTranspose(
             self.features,
             kernel_size=_triple(self.kernel),

@@ -34,8 +34,10 @@ BLOCK_Q = 256
 VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref):
-    # q_ref [1, BQ, d], k_ref [1, Nk, d], v_ref [1, Nk, C], o_ref [1, BQ, C]
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
+    # q_ref [1, BQ, d], k_ref [1, Nk, d], v_ref [1, Nk, C], o_ref [1, BQ, C],
+    # lse_ref [1, BQ] — the log-sum-exp per query row, saved for the
+    # backward's one-exp softmax reconstruction.
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -44,12 +46,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [BQ, Nk]
-    p = jax.nn.softmax(s, axis=-1)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / l
     o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
     o_ref[0] = o.astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)  # [BQ, 1]
 
 
-def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array):
     b, nq, d = q.shape
     _, nk, c = v.shape
     pad = (-nq) % BLOCK_Q
@@ -58,9 +64,12 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     nq_p = q.shape[1]
     grid = (b, nq_p // BLOCK_Q)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         _fwd_kernel,
-        out_shape=jax.ShapeDtypeStruct((b, nq_p, c), v.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, nq_p, c), v.dtype),
+            jax.ShapeDtypeStruct((b, nq_p, 1), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, BLOCK_Q, d), lambda bi, qi: (bi, qi, 0),
@@ -70,32 +79,42 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
             pl.BlockSpec((1, nk, c), lambda bi, qi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BLOCK_Q, c), lambda bi, qi: (bi, qi, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((1, BLOCK_Q, c), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, 1), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * nq_p * nk * (d + c),
             bytes_accessed=(q.size + k.size + v.size + b * nq_p * c) * 4,
             transcendentals=b * nq_p * nk,
         ),
     )(q, k, v)
-    return out[:, :nq]
+    return out[:, :nq], lse[:, :nq]  # lse [b, nq, 1]
 
 
 # Backward uses smaller query blocks: three [BQ, Nk] fp32 intermediates plus
 # fp32 dk/dv accumulators must fit VMEM together.
-BLOCK_Q_BWD = 128
+BLOCK_Q_BWD = 256
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
-    """Recompute-p backward for one query block; dk/dv accumulate across the
-    sequential qi grid axis (their output block is qi-invariant, so Pallas
-    keeps it resident in VMEM for the whole b-row of the grid).
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                dq_ref, dk_ref, dv_ref):
+    """Backward for one query block; dk/dv accumulate across the sequential
+    qi grid axis (their output block is qi-invariant, so Pallas keeps it
+    resident in VMEM for the whole b-row of the grid).
 
+    Uses the forward's saved (o, lse):
+      * p = exp(s - lse) — one transcendental pass instead of the full
+        softmax re-reduction (max/sub/sum/div);
+      * the softmax-vjp row term sum(dp*p) equals sum(do*o) (standard
+        flash-attention identity), a [BQ, C] reduction instead of [BQ, Nk].
     All five matmuls feed the MXU bf16 operands (fp32 MXU passes are ~8x
-    slower); accumulation and the softmax/vjp arithmetic stay fp32, and the
-    dk/dv cross-block accumulators are fp32 VMEM.  bf16 rounding of p/ds
-    before their matmuls is the standard flash-attention backward precision
-    (gradients tolerate it; parity-tested vs the XLA fp32-chunked path in
+    slower); accumulation and the vjp arithmetic stay fp32, and the dk/dv
+    cross-block accumulators are fp32 VMEM.  bf16 rounding of p/ds before
+    their matmuls is the standard flash-attention backward precision
+    (parity-tested vs the XLA fp32-chunked path in
     tests/test_pallas_attention.py).
     """
     qi = pl.program_id(1)
@@ -103,17 +122,22 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
+    o = o_ref[0]
+    lse = lse_ref[0]
 
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    p = jax.nn.softmax(s, axis=-1)  # [BQ, Nk] f32
+    p = jnp.exp(s - lse)  # lse [BQ, 1] -> [BQ, Nk] f32
     dp = jax.lax.dot_general(
         do, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [BQ, Nk] f32
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # softmax vjp
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    )  # [BQ, 1] == sum(dp * p, -1)
+    ds = p * (dp - delta)  # softmax vjp
     ds_lo = ds.astype(k.dtype)
     p_lo = p.astype(v.dtype)
 
@@ -136,13 +160,18 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
     )
 
 
-def _flash_backward(q, k, v, do):
+def _flash_backward(q, k, v, do, o, lse):
     b, nq, d = q.shape
     _, nk, c = v.shape
     pad = (-nq) % BLOCK_Q_BWD
     if pad:
         q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
         do = jnp.pad(do, ((0, 0), (0, pad), (0, 0)))
+        o = jnp.pad(o, ((0, 0), (0, pad), (0, 0)))
+        # padded rows: exp(0 - 0) = 1 would poison dk/dv sums; push lse to
+        # +inf so p = exp(-inf) = 0 there
+        lse = jnp.pad(lse, ((0, 0), (0, pad), (0, 0)),
+                      constant_values=jnp.inf)
     nq_p = q.shape[1]
     grid = (b, nq_p // BLOCK_Q_BWD)
 
@@ -163,6 +192,10 @@ def _flash_backward(q, k, v, do):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BLOCK_Q_BWD, c), lambda bi, qi: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q_BWD, c), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q_BWD, 1), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, BLOCK_Q_BWD, d), lambda bi, qi: (bi, qi, 0),
@@ -177,23 +210,24 @@ def _flash_backward(q, k, v, do):
             bytes_accessed=(2 * q.size + k.size + 2 * v.size) * 4,
             transcendentals=b * nq_p * nk,
         ),
-    )(q, k, v, do)
+    )(q, k, v, do, o, lse)
     return dq[:, :nq], dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 @jax.custom_vjp
 def flash_attend_tokens(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """Fused attention: Pallas forward + Pallas recompute backward."""
-    return _flash_forward(q, k, v)
+    """Fused attention: Pallas forward + Pallas one-exp backward (saved lse)."""
+    return _flash_forward(q, k, v)[0]
 
 
 def _fwd_rule(q, k, v):
-    return _flash_forward(q, k, v), (q, k, v)
+    o, lse = _flash_forward(q, k, v)
+    return o, (q, k, v, o, lse)
 
 
 def _bwd_rule(res, g):
-    q, k, v = res
-    return _flash_backward(q, k, v, g.astype(v.dtype))
+    q, k, v, o, lse = res
+    return _flash_backward(q, k, v, g.astype(v.dtype), o, lse)
 
 
 flash_attend_tokens.defvjp(_fwd_rule, _bwd_rule)

@@ -121,6 +121,7 @@ def make_train_step(
 def make_multi_train_step(
     model, steps_per_call: int, mesh: Mesh | None = None, donate: bool = True,
     state_sharding=None, compiler_options: dict | None = None,
+    unroll: int | bool = 1,
 ) -> Callable:
     """K train steps fused into one dispatch via lax.scan.
 
@@ -129,6 +130,10 @@ def make_multi_train_step(
     remote/tunneled runtimes) and lets XLA overlap the inter-step boundaries;
     numerics are identical to calling the single step K times with rngs
     jax.random.fold_in(rng, i).
+
+    ``unroll`` is forwarded to lax.scan: unrolling lets the scheduler overlap
+    one step's optimizer/BN tail with the next step's forward at the cost of
+    a larger program (compile time scales with the unroll factor).
     """
 
     def one(state: TrainState, xs):
@@ -155,7 +160,8 @@ def make_multi_train_step(
         rngs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
             jnp.arange(steps_per_call)
         )
-        return jax.lax.scan(one, state, (frames, targets, rngs))
+        return jax.lax.scan(one, state, (frames, targets, rngs),
+                            unroll=unroll)
 
     if mesh is None:
         return jax.jit(

@@ -23,7 +23,8 @@ from sap3d_tpu.train.state import create_train_state
 from sap3d_tpu.train.steps import make_multi_train_step
 
 
-def time_case(name, batch=16, k=4, attention="sa", dropout=0.5):
+def time_case(name, batch=16, k=4, attention="sa", dropout=0.5,
+              donate=False, unroll=1):
     cfg = dict(MODEL_REGISTRY["p3d_unetplusplus_ds"])
     cfg["decoder_kwargs"] = dict(cfg["decoder_kwargs"], attention=attention)
     model = P3DSaliency(**cfg, dropout_rate=dropout, dtype=jnp.bfloat16)
@@ -34,23 +35,30 @@ def time_case(name, batch=16, k=4, attention="sa", dropout=0.5):
                 (1, 1, 1, 1, 1, 1))[0]
     )
     targets = jnp.asarray(rng.random((k,) + shape[:-1]).astype(np.float32))
-    state = create_train_state(model, jax.random.PRNGKey(0), input_shape=shape)
-    step = make_multi_train_step(model, k, donate=False)
+
+    def fresh_state():
+        return create_train_state(
+            model, jax.random.PRNGKey(0), input_shape=shape
+        )
+
+    step = make_multi_train_step(model, k, donate=donate, unroll=unroll)
     key = jax.random.PRNGKey(1)
 
-    def run(n):
-        s = state
+    def run(n, s):
         losses = None
         for i in range(n):
             s, losses = step(s, frames, targets, jax.random.fold_in(key, i))
         return float(losses[-1])
 
-    run(2)
+    # with donation each run consumes its state, so create them up front
+    states = [fresh_state() for _ in range(3)] if donate \
+        else [fresh_state()] * 3
+    run(2, states[0])
     t0 = time.perf_counter()
-    run(3)
+    run(3, states[1])
     t_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    run(13)
+    run(13, states[2])
     t_l = time.perf_counter() - t0
     sec = (t_l - t_s) / 10
     ms_per_step = sec / k * 1e3
@@ -63,6 +71,11 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "base"):
         time_case("base (b16 k4 sa drop)")
+    if which in ("all", "donate"):
+        time_case("donate=True (production)", donate=True)
+    if which in ("all", "unroll"):
+        time_case("unroll=2", unroll=2)
+        time_case("unroll=2 donate", unroll=2, donate=True)
     if which in ("all", "nodrop"):
         time_case("dropout off", dropout=0.0)
     if which in ("all", "nosa"):

@@ -37,11 +37,18 @@ def test_flash_forward_matches_reference(b, nq, nk, d, c):
     k = jnp.asarray(rng.normal(size=(b, nk, d)), jnp.float32)
     v = jnp.asarray(rng.normal(size=(b, nk, c)), jnp.float32)
     with pltpu.force_tpu_interpret_mode():
-        got = _flash_forward(q, k, v)
+        got, lse = _flash_forward(q, k, v)
     want = _ref(q, k, v)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
     )
+    # lse must be the true per-row log-sum-exp of the scores
+    s = np.einsum("bqc,bkc->bqk", np.asarray(q, np.float64),
+                  np.asarray(k, np.float64))
+    want_lse = np.log(np.exp(s - s.max(-1, keepdims=True)).sum(-1)) + \
+        s.max(-1)
+    np.testing.assert_allclose(np.asarray(lse[..., 0]), want_lse,
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_flash_backward_matches_reference():
