@@ -325,6 +325,9 @@ class UNetPPDecoder(nn.Module):
     dropout_rate: float = 0.5
     dtype: jnp.dtype | None = None
     axis_name: str | None = None
+    # long-clip mode: run the SA sites as a shard_map ring over the mesh's
+    # time axis instead of a GSPMD all-gather (ops/ring_attention.py)
+    ring_mesh: object | None = None
 
     @nn.compact
     def __call__(self, feats, train: bool) -> jax.Array:
@@ -335,7 +338,8 @@ class UNetPPDecoder(nn.Module):
             if self.attention == "none":
                 return x
             return SelfAttention3D(
-                subsample=subsample, sub_size=sub_size, **kw, name=name
+                subsample=subsample, sub_size=sub_size, **kw, name=name,
+                ring_mesh=self.ring_mesh,
             )(x, train)
 
         def nl(x, name, sub_sample):
@@ -551,6 +555,9 @@ class P3DSaliency(nn.Module):
     # statistics even at eval (see Bottleneck.bn_reference_quirk).  Apply
     # with mutable=["batch_stats"] (and discard) when enabling at eval.
     bn_reference_quirk: bool = False
+    # Long-clip sequence parallelism: a time mesh (core/mesh.make_time_mesh)
+    # turns the decoder's SA sites into shard_map rings (SA decoders only).
+    ring_mesh: object | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -563,8 +570,12 @@ class P3DSaliency(nn.Module):
             bn_reference_quirk=self.bn_reference_quirk,
         )(x, train)
         dec_cls = _DECODERS[self.decoder]
+        extra = {}
+        if self.ring_mesh is not None:
+            extra["ring_mesh"] = self.ring_mesh  # SA-capable decoders only
         out = dec_cls(
             **(self.decoder_kwargs or {}),
+            **extra,
             norm_mode=self.norm_mode,
             dropout_rate=self.dropout_rate,
             dtype=self.dtype,

@@ -138,6 +138,11 @@ class SelfAttention3D(nn.Module):
     axis_name: str | None = None
     # None = auto: use the fused Pallas kernel on TPU when shapes qualify.
     use_pallas: bool | None = None
+    # Long-clip sequence parallelism: when set, q/k/v stay sharded on the
+    # mesh's time axis and attention runs as a shard_map ring (k/v shards
+    # rotate via ppermute with online-softmax combining) instead of the
+    # GSPMD all-gather (ops/ring_attention.py).
+    ring_mesh: object | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -178,6 +183,11 @@ class SelfAttention3D(nn.Module):
             hv = pool3d(hv, self.sub_size)
 
         q_t, k_t, v_t = map(_flatten_tokens, (g, f, hv))
+        if self.ring_mesh is not None:
+            from sap3d_tpu.ops.ring_attention import ring_attend_sharded
+
+            o = ring_attend_sharded(self.ring_mesh, q_t, k_t, v_t)
+            return self._epilogue(x, o, train)
         use_pallas = self.use_pallas
         if use_pallas is None:
             import os
@@ -201,6 +211,12 @@ class SelfAttention3D(nn.Module):
             o = flash_attend_tokens(q_t, k_t, v_t)
         else:
             o = attend_tokens(q_t, k_t, v_t)
+        return self._epilogue(x, o, train)
+
+    def _epilogue(self, x: jax.Array, o: jax.Array, train: bool) -> jax.Array:
+        """out-conv -> norm -> relu -> gamma-gated residual (shared tail;
+        submodule creation order is identical on every path)."""
+        b, d, h_dim, w, c = x.shape
         o = o.reshape(b, d, h_dim, w, c)
         o = nn.Conv(
             c, (1, 1, 1), padding="SAME", kernel_init=glorot(),

@@ -1,0 +1,86 @@
+"""Ring attention over the time mesh vs the gather path.
+
+Completes SURVEY.md section 5's long-context stretch: the SA sites run as a
+shard_map ring (ppermute + online softmax) with q/k/v kept time-sharded,
+and must match plain attend_tokens / the replicated model forward.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sap3d_tpu.core.mesh import make_time_mesh, time_sharding
+from sap3d_tpu.models.p3d import P3DSaliency
+from sap3d_tpu.ops.attention import attend_tokens
+from sap3d_tpu.ops.ring_attention import ring_attend_sharded
+from sap3d_tpu.train.state import create_train_state
+
+MICRO_STAGES = ((8, 1), (16, 1), (32, 1))
+
+
+def test_ring_matches_gather_op_level():
+    rng = np.random.default_rng(0)
+    b, nq, nk, d, c = 2, 64, 32, 8, 16
+    q = jnp.asarray(rng.normal(size=(b, nq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, nk, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, nk, c)), jnp.float32)
+    mesh = make_time_mesh(4)
+
+    got = ring_attend_sharded(mesh, q, k, v)
+    want = attend_tokens(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_ring_matches_gather_in_model_forward():
+    """Time-sharded long-clip forward with ring SA == replicated forward."""
+    mesh = make_time_mesh(4)
+    T = 64  # 4x the reference clip length; every SA site's D divides by 4
+    shape = (1, T, 16, 16, 3)
+
+    base = P3DSaliency(
+        decoder="unetpp", decoder_kwargs=dict(attention="sa", head="ds"),
+        norm_mode="bn", stages=MICRO_STAGES, stem_features=8,
+    )
+    ring = P3DSaliency(
+        decoder="unetpp", decoder_kwargs=dict(attention="sa", head="ds"),
+        norm_mode="bn", stages=MICRO_STAGES, stem_features=8,
+        ring_mesh=mesh,
+    )
+    state = create_train_state(base, jax.random.PRNGKey(0), input_shape=shape)
+    # the SA gamma gates init to 0 (identity) — open them so the comparison
+    # is actually sensitive to the attention values
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, p: jnp.full_like(p, 0.7)
+        if jax.tree_util.keystr(path).endswith("'gamma']") else p,
+        state.params,
+    )
+    n_gamma = sum(
+        1 for path, _ in jax.tree_util.tree_flatten_with_path(params)[0]
+        if jax.tree_util.keystr(path).endswith("'gamma']")
+    )
+    assert n_gamma >= 4, n_gamma
+    state = state.replace(params=params)
+    frames = jnp.asarray(
+        np.random.default_rng(0).normal(size=shape).astype(np.float32) * 0.3
+    )
+    tsh = time_sharding(mesh)
+    repl = NamedSharding(mesh, P())
+
+    def fwd(model, s, f):
+        return model.apply(
+            {"params": s.params, "batch_stats": s.batch_stats}, f, train=False
+        )
+
+    out_ring = jax.jit(
+        lambda s, f: fwd(ring, s, f), in_shardings=(repl, tsh)
+    )(state, jax.device_put(frames, tsh))
+    out_ref = jax.jit(lambda s, f: fwd(base, s, f))(state, frames)
+    assert out_ring.shape == (1, T, 16, 16, 1)
+    np.testing.assert_allclose(
+        np.asarray(out_ring), np.asarray(out_ref), atol=2e-5
+    )
+    # the ring output stays time-sharded (no all-gather snuck in)
+    assert not out_ring.sharding.is_fully_replicated
