@@ -65,6 +65,12 @@ class SlidingWindowPredictor:
         self.image_size = image_size
         self.out_size = out_size
         self._pool = ThreadPoolExecutor(num_threads, thread_name_prefix="pred-decode")
+        # separate pool for the 960x1080 JPEG encode/write so write-behind
+        # doesn't starve the decode of the NEXT video
+        self._write_pool = ThreadPoolExecutor(
+            num_threads // 2 or 1, thread_name_prefix="pred-write"
+        )
+        self._pending_writes: list = []
 
         # Gathering is jitted separately from the model call: apply_fn is
         # typically a jitted closure over the train state, and nesting it
@@ -77,8 +83,20 @@ class SlidingWindowPredictor:
 
             return jax.vmap(one)(starts)  # [W, T, H, W, 3]
 
+        # The emission protocol needs only the LAST frame of every window
+        # (plus window 0 in full, reference gen_pred.py:154-168), so slice on
+        # device: pulling whole [W, T, H, W] outputs to host costs 16x the
+        # bytes, and host<->device transfer is the export path's bottleneck
+        # on tunneled runtimes (measured 6s/video of pure D2H, BASELINE.md).
+        @jax.jit
+        def last_frames(out: jax.Array) -> jax.Array:
+            return out[:, -1]  # [W, H, W]
+
         self._gather_and_run = lambda frames_dev, starts: self.apply_fn(
             gather(frames_dev, starts)
+        )
+        self._gather_and_run_last = lambda frames_dev, starts: last_frames(
+            self.apply_fn(gather(frames_dev, starts))
         )
 
     def decode_video(self, frame_paths: Sequence[str]) -> np.ndarray:
@@ -96,6 +114,13 @@ class SlidingWindowPredictor:
             return preprocess_frame(cv2.imread(p, cv2.IMREAD_COLOR), self.image_size)
 
         return np.stack(list(self._pool.map(one, paths))).astype(np.float32)
+
+    def prepare_video(self, frame_paths: Sequence[str]) -> jax.Array | np.ndarray:
+        """Decode + upload a whole video to HBM (for the lookahead thread:
+        both the cv2 decode and the H2D transfer overlap the previous
+        video's inference)."""
+        frames = self.decode_video(frame_paths)
+        return jax.device_put(frames) if frames.shape[0] else frames
 
     def predict_video(
         self,
@@ -116,24 +141,38 @@ class SlidingWindowPredictor:
         n = frames.shape[0]
         if n < self.window:
             return np.zeros((0, self.image_size, self.image_size), np.float32)
-        frames_dev = jax.device_put(frames)
+        # accepts an already-device-resident array (prepare_video uploads
+        # from the lookahead thread so H2D overlaps the previous video)
+        frames_dev = (
+            frames if isinstance(frames, jax.Array) else jax.device_put(frames)
+        )
 
         n_windows = n - self.window + 1
         emitted = np.zeros((n, self.image_size, self.image_size), np.float32)
+        # Dispatch every window batch asynchronously and materialize once at
+        # the end: per-batch host syncs and full-window transfers are the
+        # dominant export-path terms on remote runtimes.  Only the FIRST
+        # batch pulls full [W, T, H, W] outputs (window 0 emits all 16
+        # frames); every other batch transfers last frames only.
+        pending: list[tuple[np.ndarray, jax.Array, bool]] = []
         for base in range(0, n_windows, self.batch_windows):
             starts = np.arange(
                 base, min(base + self.batch_windows, n_windows), dtype=np.int32
             )
             pad = self.batch_windows - len(starts)
             starts_p = np.concatenate([starts, np.full(pad, starts[-1], np.int32)])
-            out = np.asarray(
-                self._gather_and_run(frames_dev, jnp.asarray(starts_p))
-            )[: len(starts)]
+            full = base == 0
+            run = self._gather_and_run if full else self._gather_and_run_last
+            pending.append((starts, run(frames_dev, jnp.asarray(starts_p)), full))
+        for starts, dev_out, full in pending:
+            out = np.asarray(dev_out)[: len(starts)]
             for j, s in enumerate(starts):
                 if s == 0:
                     emitted[0 : self.window] = out[j]  # first window: all 16
+                elif full:
+                    emitted[s + self.window - 1] = out[j, -1]
                 else:
-                    emitted[s + self.window - 1] = out[j, -1]  # later: last only
+                    emitted[s + self.window - 1] = out[j]  # last frame only
         return emitted
 
     @staticmethod
@@ -150,20 +189,40 @@ class SlidingWindowPredictor:
         save_dir: str,
         skip_existing: bool = True,
         frames: np.ndarray | None = None,
+        wait: bool = True,
     ) -> bool:
         """Predict one video directory and write frame_%d.jpg maps.
 
-        Returns False if skipped (output dir already exists).
+        Returns False if skipped (output dir already exists).  The 960x1080
+        resize + JPEG encode runs on a thread pool (cv2 releases the GIL);
+        with ``wait=False`` the writes trail in the background (call
+        :meth:`flush_writes` before relying on the files) so the next
+        video's decode/inference overlaps them.
         """
         if os.path.exists(save_dir) and skip_existing:
             return False
         maps = self.predict_video(self._video_paths(frame_dir), frames=frames)
         os.makedirs(save_dir, exist_ok=True)
-        for i in range(maps.shape[0]):
+
+        def write_one(i: int) -> None:
             img = cv2.resize(maps[i] * 255.0, dsize=self.out_size)
             img = np.clip(img, 0, 255).astype(np.uint8)
             cv2.imwrite(os.path.join(save_dir, f"frame_{i + 1}.jpg"), img)
+
+        futs = [self._write_pool.submit(write_one, i)
+                for i in range(maps.shape[0])]
+        if wait:
+            for f in futs:
+                f.result()
+        else:
+            self._pending_writes.extend(futs)
         return True
+
+    def flush_writes(self) -> None:
+        """Block until all write-behind JPEG writes have completed."""
+        for f in self._pending_writes:
+            f.result()
+        self._pending_writes.clear()
 
     def export_dataset(self, data_root: str, save_root: str) -> int:
         """All videos under data_root, sorted (reference gen_pred.py:70-86).
@@ -186,14 +245,15 @@ class SlidingWindowPredictor:
             for i, (vdir, sdir) in enumerate(todo):
                 frames = (
                     fut.result() if fut is not None
-                    else self.decode_video(self._video_paths(vdir))
+                    else self.prepare_video(self._video_paths(vdir))
                 )
                 fut = (
                     ahead.submit(
-                        self.decode_video, self._video_paths(todo[i + 1][0])
+                        self.prepare_video, self._video_paths(todo[i + 1][0])
                     )
                     if i + 1 < len(todo) else None
                 )
-                if self.export_video(vdir, sdir, frames=frames):
+                if self.export_video(vdir, sdir, frames=frames, wait=False):
                     count += 1
+        self.flush_writes()
         return count
