@@ -24,7 +24,7 @@ from sap3d_tpu.train.steps import make_multi_train_step
 
 
 def time_case(name, batch=16, k=4, attention="sa", dropout=0.5,
-              donate=False, unroll=1):
+              donate=False, unroll=1, compiler_options=None):
     cfg = dict(MODEL_REGISTRY["p3d_unetplusplus_ds"])
     cfg["decoder_kwargs"] = dict(cfg["decoder_kwargs"], attention=attention)
     model = P3DSaliency(**cfg, dropout_rate=dropout, dtype=jnp.bfloat16)
@@ -41,7 +41,8 @@ def time_case(name, batch=16, k=4, attention="sa", dropout=0.5,
             model, jax.random.PRNGKey(0), input_shape=shape
         )
 
-    step = make_multi_train_step(model, k, donate=donate, unroll=unroll)
+    step = make_multi_train_step(model, k, donate=donate, unroll=unroll,
+                                 compiler_options=compiler_options)
     key = jax.random.PRNGKey(1)
 
     def run(n, s):
@@ -76,6 +77,12 @@ def main():
     if which in ("all", "unroll"):
         time_case("unroll=2", unroll=2)
         time_case("unroll=2 donate", unroll=2, donate=True)
+    if which == "flags":
+        for kib in (32768, 65536):
+            time_case(
+                f"scoped-vmem {kib}kib",
+                compiler_options={"xla_tpu_scoped_vmem_limit_kib": str(kib)},
+            )
     if which in ("all", "nodrop"):
         time_case("dropout off", dropout=0.0)
     if which in ("all", "nosa"):
