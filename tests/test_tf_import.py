@@ -182,6 +182,41 @@ def test_reference_checkpoint_roundtrip_bn(tmp_path, ref_p3d):
     )
 
 
+def test_cli_eval_tf_checkpoint(tmp_path, ref_p3d):
+    """`cli eval --tf-checkpoint` scores a reference TF1 checkpoint directly
+    (the reference test.py workflow, test.py:138-183) — exercises the CLI
+    wiring: import, bn_reference_quirk inference, the 5-metric protocol."""
+    tf1, p3d_ref, _ = ref_p3d
+
+    graph = tf1.Graph()
+    with graph.as_default():
+        tf1.set_random_seed(7)
+        xin = tf1.placeholder(tf1.float32, SHAPE)
+        p3d_ref.p3d_unetplusplus_nonsa(xin, 0.5, batch_size=1, training=False)
+        saver = tf1.train.Saver()
+        with tf1.Session(graph=graph) as sess:
+            sess.run(tf1.global_variables_initializer())
+            ckpt = saver.save(sess, str(tmp_path / "cli_ref.ckpt"))
+
+    from sap3d_tpu.data.synthetic import make_synthetic_dataset
+
+    ds = make_synthetic_dataset(
+        str(tmp_path / "data"), num_videos=1, frames_per_video=28,
+        size=(64, 48), with_fixations=True,
+    )
+
+    from sap3d_tpu import cli
+
+    rc = cli.main([
+        "eval", "--structure", "p3d_unetplusplus_nonsa",
+        "--tf-checkpoint", ckpt,
+        "--frames", ds["frame_dirs"], "--densities", ds["density_dirs"],
+        "--fixations", ds["fixation_dir"],
+        "--batch", "1", "--overlap", "0", "--trainingprops", "0",
+    ])
+    assert rc == 0
+
+
 def test_reference_checkpoint_roundtrip_gn_cbam(tmp_path, ref_p3d):
     """GN+CBAM family: exercises the interleaved group_norm creation-order
     counter and the CBAM mlp/conv mappings.  Output is LINEAR (reference
