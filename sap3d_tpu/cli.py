@@ -237,23 +237,9 @@ def cmd_eval(argv) -> int:
         # reference-TF1-checkpoint workflow (reference test.py:138-154):
         # import the Saver checkpoint and evaluate it with the reference's
         # exact inference semantics (bottleneck BNs on batch statistics).
-        from sap3d_tpu.interop.tf_import import (
-            import_checkpoint,
-            validate_against_model,
-        )
-
         structure = resolve_name(args.structure)
-        model = build_model(
-            structure, dtype=args.dtype, bn_reference_quirk=True
-        )
-        state = create_train_state(
-            model, jax.random.PRNGKey(0), input_shape=input_shape
-        )
-        variables = import_checkpoint(structure, args.tf_checkpoint)
-        validate_against_model(variables, model, input_shape)
-        state = state.replace(
-            params=variables["params"],
-            batch_stats=variables.get("batch_stats", state.batch_stats),
+        model, state = _state_from_tf_checkpoint(
+            structure, args.tf_checkpoint, args.dtype, input_shape
         )
         runs.insert(0, ("tf:" + args.tf_checkpoint, structure, model, state))
 
@@ -305,17 +291,48 @@ def cmd_eval(argv) -> int:
     return 0 if results and not failures else 1
 
 
+def _state_from_tf_checkpoint(structure: str, ckpt_path: str, dtype,
+                              input_shape):
+    """Build a (model, state) pair from a reference TF1 Saver checkpoint with
+    reference-faithful inference semantics (interop/tf_import.py)."""
+    import jax
+
+    from sap3d_tpu.interop.tf_import import (
+        import_checkpoint,
+        validate_against_model,
+    )
+    from sap3d_tpu.models.registry import build_model
+    from sap3d_tpu.train.state import create_train_state
+
+    model = build_model(structure, dtype=dtype, bn_reference_quirk=True)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), input_shape=input_shape
+    )
+    variables = import_checkpoint(structure, ckpt_path)
+    validate_against_model(variables, model, input_shape)
+    return model, state.replace(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", state.batch_stats),
+    )
+
+
 def cmd_predict(argv) -> int:
     p = argparse.ArgumentParser(prog="sap3d predict")
     _add_common_model_flags(p)
-    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--model-dir", type=str, default="./model")
+    p.add_argument("--tf-checkpoint", type=str, default=None,
+                   help="run inference from a reference TF1 checkpoint "
+                        "(the reference gen_pred.py workflow, "
+                        "gen_pred.py:56-64); variant from --structure")
     p.add_argument("--data", type=str, required=True, help="video frames root")
     p.add_argument("--out", type=str, required=True, help="output root")
     p.add_argument("--batch-windows", type=int, default=16,
                    help="windows per device step (16 = measured v5e saturation"
                         " knee, BASELINE.md)")
     args = p.parse_args(argv)
+    if (args.checkpoint is None) == (args.tf_checkpoint is None):
+        p.error("exactly one of --checkpoint / --tf-checkpoint is required")
 
     import os
 
@@ -327,15 +344,23 @@ def cmd_predict(argv) -> int:
     from sap3d_tpu.train.state import create_train_state
     from sap3d_tpu.train.steps import make_eval_step
 
-    model = build_model(resolve_name(args.structure), dtype=args.dtype)
-    state = create_train_state(
-        model, jax.random.PRNGKey(0),
-        input_shape=(args.batch_windows, 16, 112, 112, 3),
-    )
-    state, ok = try_restore_latest(state, os.path.join(args.model_dir, args.checkpoint))
-    if not ok:
-        print("checkpoint missing", file=sys.stderr)
-        return 1
+    input_shape = (args.batch_windows, 16, 112, 112, 3)
+    if args.tf_checkpoint:
+        model, state = _state_from_tf_checkpoint(
+            resolve_name(args.structure), args.tf_checkpoint, args.dtype,
+            input_shape,
+        )
+    else:
+        model = build_model(resolve_name(args.structure), dtype=args.dtype)
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), input_shape=input_shape
+        )
+        state, ok = try_restore_latest(
+            state, os.path.join(args.model_dir, args.checkpoint)
+        )
+        if not ok:
+            print("checkpoint missing", file=sys.stderr)
+            return 1
     ev = make_eval_step(model)
     pred = SlidingWindowPredictor(
         lambda clips: ev(state, clips), batch_windows=args.batch_windows

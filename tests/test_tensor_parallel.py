@@ -41,6 +41,37 @@ def setup():
     return mesh, model, state
 
 
+def test_gn_cbam_tp_step_matches_replicated():
+    """The GN+CBAM family (the 'sap3d' signature models) also trains under
+    hybrid DP x TP: spec inference must handle GroupNorm scales and the CBAM
+    MLP/conv kernels, and the sharded loss must match the replicated step."""
+    mesh = make_mesh_2d(2, 4)
+    model = P3DSaliency(
+        decoder="gn_easy", norm_mode="gn", backbone_cbam=True,
+        stages=MICRO_STAGES, stem_features=8,
+    )
+    state = create_train_state(model, jax.random.PRNGKey(0), input_shape=SHAPE)
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(rng.normal(size=SHAPE).astype(np.float32) * 0.3)
+    targets = jnp.asarray(rng.random(SHAPE[:-1]).astype(np.float32))
+    key = jax.random.PRNGKey(5)
+
+    step_ref = make_train_step(model, donate=False)
+    _, loss_ref = step_ref(state, frames, targets, key)
+
+    shardings = state_shardings(state, mesh, min_features=128)
+    state_tp = apply_state_sharding(state, shardings)
+    assert any(
+        not p.sharding.is_fully_replicated
+        for p in jax.tree.leaves(state_tp.params)
+    )
+    step_tp = make_train_step(
+        model, mesh=mesh, donate=False, state_sharding=shardings
+    )
+    _, loss_tp = step_tp(state_tp, frames, targets, key)
+    np.testing.assert_allclose(float(loss_tp), float(loss_ref), rtol=2e-4)
+
+
 def test_infer_param_specs(setup):
     mesh, _, state = setup
     specs = infer_param_specs(state.params, mesh, min_features=128)
