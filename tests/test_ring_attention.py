@@ -60,6 +60,48 @@ def test_ring_gradients_match_gather():
         )
 
 
+def test_ring_time_sharded_train_step():
+    """A full train step (fwd+bwd+Adam+BN) with ring SA under time sharding
+    runs and matches the replicated non-ring step's loss.  Dropout off so
+    the two programs compute the same function regardless of how the RNG
+    bits partition."""
+    from jax.sharding import NamedSharding
+
+    from sap3d_tpu.train.steps import make_train_step
+
+    mesh = make_time_mesh(4)
+    T = 64
+    shape = (2, T, 16, 16, 3)
+    kw = dict(
+        decoder="unetpp", decoder_kwargs=dict(attention="sa", head="ds"),
+        norm_mode="bn", stages=MICRO_STAGES, stem_features=8,
+        dropout_rate=0.0,
+    )
+    base = P3DSaliency(**kw)
+    ring = P3DSaliency(**kw, ring_mesh=mesh)
+    state = create_train_state(base, jax.random.PRNGKey(0), input_shape=shape)
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, p: jnp.full_like(p, 0.7)
+        if jax.tree_util.keystr(path).endswith("'gamma']") else p,
+        state.params,
+    )
+    state = state.replace(params=params)
+    rng = np.random.default_rng(2)
+    frames = jnp.asarray(rng.normal(size=shape).astype(np.float32) * 0.3)
+    targets = jnp.asarray(rng.random(shape[:-1]).astype(np.float32))
+    key = jax.random.PRNGKey(9)
+
+    step_ref = make_train_step(base, donate=False)
+    _, loss_ref = step_ref(state, frames, targets, key)
+
+    tsh = NamedSharding(mesh, jax.sharding.PartitionSpec(None, "time"))
+    step_ring = make_train_step(ring, donate=False)
+    f_sh = jax.device_put(frames, time_sharding(mesh))
+    t_sh = jax.device_put(targets, tsh)
+    _, loss_ring = step_ring(state, f_sh, t_sh, key)
+    np.testing.assert_allclose(float(loss_ring), float(loss_ref), rtol=5e-4)
+
+
 def test_ring_matches_gather_in_model_forward():
     """Time-sharded long-clip forward with ring SA == replicated forward."""
     mesh = make_time_mesh(4)
