@@ -37,13 +37,29 @@ def inspect(directory: str, name_filter: str = "") -> list[tuple[str, tuple]]:
     return rows
 
 
+def inspect_tf(ckpt_path: str, name_filter: str = "") -> list[tuple[str, tuple]]:
+    """Same view over a reference TF1 Saver checkpoint (the exact workflow of
+    reference utils/test_model.py:17-27, which filters for 'conv'; pass that
+    as the filter to reproduce its output)."""
+    from sap3d_tpu.interop.tf_import import load_tf_checkpoint
+
+    return sorted(
+        (name, tuple(np.shape(arr)))
+        for name, arr in load_tf_checkpoint(ckpt_path).items()
+        if name_filter in name
+    )
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    tf_mode = "--tf" in argv
+    argv = [a for a in argv if a != "--tf"]
     if not argv:
-        print("usage: inspect_ckpt <checkpoint_dir> [filter]", file=sys.stderr)
+        print("usage: inspect_ckpt [--tf] <checkpoint> [filter]",
+              file=sys.stderr)
         return 2
     name_filter = argv[1] if len(argv) > 1 else ""
-    rows = inspect(argv[0], name_filter)
+    rows = (inspect_tf if tf_mode else inspect)(argv[0], name_filter)
     total = 0
     for name, shape in rows:
         print(f"{name}  {shape}")

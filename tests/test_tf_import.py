@@ -216,6 +216,15 @@ def test_cli_eval_tf_checkpoint(tmp_path, ref_p3d):
     ])
     assert rc == 0
 
+    # the TF-checkpoint inspector (reference utils/test_model.py:17-27
+    # filters for 'conv')
+    from sap3d_tpu.train.inspect_ckpt import inspect_tf
+
+    rows = inspect_tf(ckpt, "conv")
+    assert len(rows) > 40
+    assert all(len(shape) in (1, 5) for _, shape in rows)  # biases + kernels
+    assert cli.main(["inspect", "--tf", ckpt, "conv"]) == 0
+
 
 def test_reference_checkpoint_roundtrip_gn_cbam(tmp_path, ref_p3d):
     """GN+CBAM family: exercises the interleaved group_norm creation-order
