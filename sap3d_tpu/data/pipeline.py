@@ -77,6 +77,18 @@ class FrameCache:
         return value
 
 
+def imread_checked(path: str, flags: int) -> np.ndarray:
+    """cv2.imread that FAILS LOUDLY: cv2 returns None on missing/corrupt
+    files, which otherwise surfaces as an opaque TypeError deep inside a
+    decode worker thread.  Name the file instead."""
+    img = cv2.imread(path, flags)
+    if img is None:
+        raise FileNotFoundError(
+            f"cv2 could not decode {path!r} (missing, unreadable, or corrupt)"
+        )
+    return img
+
+
 def preprocess_frame(bgr: np.ndarray, size: int = 112) -> np.ndarray:
     """BGR uint8 frame -> float32 [size,size,3] with reference semantics:
     RGB flip, float-promote, mean-subtract, bilinear resize, /255
@@ -125,14 +137,14 @@ def decode_clip(
     _require_cv2()
 
     def frame(p):
-        dec = lambda: preprocess_frame(cv2.imread(p, cv2.IMREAD_COLOR), size)  # noqa: E731
+        dec = lambda: preprocess_frame(imread_checked(p, cv2.IMREAD_COLOR), size)  # noqa: E731
         return cache.get_or_decode(("f", p, size), dec) if cache else dec()
 
     dsize = (960, 1080) if test_mode else size
 
     def density(p):
         dec = lambda: preprocess_density(  # noqa: E731
-            cv2.imread(p, cv2.IMREAD_GRAYSCALE), dsize)
+            imread_checked(p, cv2.IMREAD_GRAYSCALE), dsize)
         return cache.get_or_decode(("d", p, dsize), dec) if cache else dec()
 
     frames = np.stack([frame(p) for p in clip.frames])
@@ -140,7 +152,7 @@ def decode_clip(
     if not test_mode:
         return frames, densities
     fixations = np.stack(
-        [cv2.imread(p, cv2.IMREAD_GRAYSCALE).astype(np.float32) / 255.0
+        [imread_checked(p, cv2.IMREAD_GRAYSCALE).astype(np.float32) / 255.0
          for p in clip.fixations]
     )
     return frames, densities, fixations

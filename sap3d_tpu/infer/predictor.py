@@ -35,7 +35,7 @@ try:
 except ImportError:  # pragma: no cover
     cv2 = None
 
-from sap3d_tpu.data.pipeline import preprocess_frame
+from sap3d_tpu.data.pipeline import imread_checked, preprocess_frame
 
 
 def _numeric_frame_sort(paths: Sequence[str]) -> list[str]:
@@ -111,7 +111,7 @@ class SlidingWindowPredictor:
             )
 
         def one(p):
-            return preprocess_frame(cv2.imread(p, cv2.IMREAD_COLOR), self.image_size)
+            return preprocess_frame(imread_checked(p, cv2.IMREAD_COLOR), self.image_size)
 
         return np.stack(list(self._pool.map(one, paths))).astype(np.float32)
 

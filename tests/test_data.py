@@ -286,3 +286,19 @@ def test_frame_cache_eviction():
     cache.get_or_decode(("b",), make(2.0))  # miss again
     assert calls == [1.0, 2.0, 3.0, 2.0]
     assert not a.flags.writeable
+
+
+def test_unreadable_frame_fails_loudly(tmp_path):
+    """cv2 returns None for missing/corrupt files; the pipeline must raise
+    an error naming the file instead of an opaque TypeError in a worker."""
+    import cv2
+    import pytest
+
+    from sap3d_tpu.data.pipeline import imread_checked
+
+    with pytest.raises(FileNotFoundError, match="nope_frame_3.jpg"):
+        imread_checked(str(tmp_path / "nope_frame_3.jpg"), cv2.IMREAD_COLOR)
+    bad = tmp_path / "corrupt_frame_4.jpg"
+    bad.write_bytes(b"not a jpeg")
+    with pytest.raises(FileNotFoundError, match="corrupt_frame_4.jpg"):
+        imread_checked(str(bad), cv2.IMREAD_COLOR)
