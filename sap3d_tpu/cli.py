@@ -310,9 +310,12 @@ def _state_from_tf_checkpoint(structure: str, ckpt_path: str, dtype,
     )
     variables = import_checkpoint(structure, ckpt_path)
     validate_against_model(variables, model, input_shape)
+    # map_tf_variables always emits a 'batch_stats' key (possibly {});
+    # keep the freshly-initialized stats for GN models rather than
+    # silently replacing them with {}.
     return model, state.replace(
         params=variables["params"],
-        batch_stats=variables.get("batch_stats", state.batch_stats),
+        batch_stats=variables["batch_stats"] or state.batch_stats,
     )
 
 
@@ -394,7 +397,14 @@ def cmd_eval_dirs(argv) -> int:
     p.add_argument("--density", type=str, default=None)
     p.add_argument("--fixation", type=str, default=None)
     p.add_argument("--metrics", type=str, nargs="*",
-                   default=["cc", "sim", "auc_judd"])
+                   default=["cc", "sim", "auc_judd"],
+                   choices=["cc", "sim", "kldiv", "nss", "auc_judd",
+                            "auc_borji", "auc_shuffled"],
+                   help="auc_shuffled/auc_borji/nss need --fixation")
+    p.add_argument("--workers", type=int, default=None,
+                   help="videos scored concurrently (default: min(8, cpus); "
+                        "replaces the reference's MATLAB parpool(5), "
+                        "metric_video_base.m:1-20)")
     args = p.parse_args(argv)
     if args.dsname:
         from sap3d_tpu.core.config import EVAL_DATASETS
@@ -414,7 +424,8 @@ def cmd_eval_dirs(argv) -> int:
     from sap3d_tpu.eval.evaluator import evaluate_saliency_dirs
 
     results = evaluate_saliency_dirs(
-        args.pred, args.density, args.fixation, tuple(args.metrics)
+        args.pred, args.density, args.fixation, tuple(args.metrics),
+        workers=args.workers,
     )
     for video, scores in results.items():
         line = "  ".join(f"{k}: {v:.4f}" for k, v in scores.items())

@@ -17,6 +17,7 @@ resolution (reference dataflow.py:219-240).
 
 from __future__ import annotations
 
+import os
 import queue
 import random
 import threading
@@ -83,9 +84,12 @@ def imread_checked(path: str, flags: int) -> np.ndarray:
     decode worker thread.  Name the file instead."""
     img = cv2.imread(path, flags)
     if img is None:
-        raise FileNotFoundError(
-            f"cv2 could not decode {path!r} (missing, unreadable, or corrupt)"
-        )
+        if os.path.exists(path):
+            raise ValueError(
+                f"cv2 could not decode {path!r} (file exists but is "
+                "corrupt or not a supported image format)"
+            )
+        raise FileNotFoundError(f"cv2 could not decode {path!r}: no such file")
     return img
 
 

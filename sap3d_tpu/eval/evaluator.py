@@ -75,60 +75,154 @@ def evaluate_prediction_batches(
     }
 
 
+def _read_gray(path: str) -> np.ndarray:
+    return cv2.imread(path, cv2.IMREAD_GRAYSCALE).astype(np.float64) / 255.0
+
+
+def _video_frame_pairs(
+    vdir: str, vname: str, density_root: str, fixation_root: str | None
+) -> list[tuple[str, str, str | None]]:
+    """Sorted (pred, density, fixation|None) path triples for one video."""
+    out = []
+    for pf in sorted(
+        glob.glob(os.path.join(vdir, "*.jpg")),
+        key=lambda p: int(os.path.basename(p).split("_")[-1].split(".")[0]),
+    ):
+        fname = os.path.basename(pf)
+        gt_path = os.path.join(density_root, vname, fname)
+        if not os.path.exists(gt_path):
+            continue
+        fix_path = None
+        if fixation_root:
+            cand = os.path.join(
+                fixation_root, vname, fname.rsplit(".", 1)[0] + ".bmp"
+            )
+            if os.path.exists(cand):
+                fix_path = cand
+        out.append((pf, gt_path, fix_path))
+    return out
+
+
+def _fixation_union(
+    pairs: list[tuple[str, str, str | None]], max_frames: int = 20
+) -> np.ndarray | None:
+    """OR of up to max_frames of a video's fixation maps (native resolution);
+    the negative-sample pool for shuffled AUC (reference metrics.py:157-197
+    draws negatives from fixations on OTHER images)."""
+    fix_paths = [fp for _, _, fp in pairs if fp is not None]
+    if not fix_paths:
+        return None
+    stride = max(1, len(fix_paths) // max_frames)
+    union = None
+    for fp in fix_paths[::stride][:max_frames]:
+        m = _read_gray(fp) > 0.5
+        union = m if union is None else (union | m)
+    return union
+
+
+def _score_video(
+    pairs: list[tuple[str, str, str | None]],
+    metrics: tuple[str, ...],
+    rng: np.random.Generator,
+    other_union: np.ndarray | None,
+) -> dict[str, float]:
+    scores: dict[str, list] = {m: [] for m in metrics}
+    other_resized: dict[tuple[int, int], np.ndarray] = {}
+    for pf, gt_path, fix_path in pairs:
+        pred = _read_gray(pf)
+        gt = _read_gray(gt_path)
+        fix = _read_gray(fix_path) if fix_path else None
+        for m in metrics:
+            if m == "cc":
+                scores[m].append(M.CC(pred, gt))
+            elif m == "sim":
+                scores[m].append(M.SIM(pred, gt))
+            elif m == "kldiv":
+                scores[m].append(M.KLdiv(pred, gt))
+            elif m == "nss" and fix is not None:
+                scores[m].append(M.NSS(pred, fix))
+            elif m == "auc_judd":
+                target = fix if fix is not None else gt
+                scores[m].append(M.AUC_Judd(pred, target, rng=rng))
+            elif m == "auc_borji" and fix is not None:
+                scores[m].append(M.AUC_Borji(pred, fix, rng=rng))
+            elif m == "auc_shuffled" and fix is not None and other_union is not None:
+                shape = fix.shape
+                if shape not in other_resized:
+                    other_resized[shape] = (
+                        cv2.resize(
+                            other_union.astype(np.uint8),
+                            (shape[1], shape[0]),
+                            interpolation=cv2.INTER_NEAREST,
+                        )
+                        > 0
+                    )
+                scores[m].append(
+                    M.AUC_shuffled(pred, fix, other_resized[shape], rng=rng)
+                )
+    return {m: M.nan_filtered_mean(v) for m, v in scores.items() if v}
+
+
 def evaluate_saliency_dirs(
     pred_root: str,
     density_root: str,
     fixation_root: str | None = None,
     metrics: tuple[str, ...] = ("cc", "sim", "auc_judd"),
     rng: np.random.Generator | None = None,
+    workers: int | None = None,
 ) -> dict[str, dict[str, float]]:
     """Score exported saliency maps against ground truth, per video.
 
     Replacement for the MATLAB batch path (reference
     utils/matlab_metric/metric_video_base.m computes CC/SIM/AUC-Judd per frame
-    with parfor; here it's a NumPy loop per video with the same formulas).
-    Returns {video: {metric: mean score}}.
+    with ``parpool(5)``/parfor; here videos are scored concurrently on a
+    thread pool — cv2 decode and the large-map NumPy ops release the GIL —
+    with the same formulas).  ``auc_shuffled`` draws its negative samples
+    from the union of OTHER videos' fixation maps (the reference's shuffled
+    sampler semantics, reference utils/metrics.py:157-197) and requires
+    ``fixation_root``.  Returns {video: {metric: mean score}}; deterministic
+    for a fixed rng seed regardless of worker count (per-video child seeds
+    are drawn up-front in sorted-name order).
     """
     rng = rng or np.random.default_rng(0)
-    results: dict[str, dict[str, float]] = {}
-    for vdir in sorted(glob.glob(os.path.join(pred_root, "*"))):
-        if not os.path.isdir(vdir):
-            continue
-        vname = os.path.basename(vdir)
-        scores: dict[str, list] = {m: [] for m in metrics}
-        for pf in sorted(
-            glob.glob(os.path.join(vdir, "*.jpg")),
-            key=lambda p: int(os.path.basename(p).split("_")[-1].split(".")[0]),
-        ):
-            fname = os.path.basename(pf)
-            gt_path = os.path.join(density_root, vname, fname)
-            if not os.path.exists(gt_path):
-                continue
-            pred = cv2.imread(pf, cv2.IMREAD_GRAYSCALE).astype(np.float64) / 255.0
-            gt = cv2.imread(gt_path, cv2.IMREAD_GRAYSCALE).astype(np.float64) / 255.0
-            fix = None
-            if fixation_root:
-                fix_path = os.path.join(
-                    fixation_root, vname, fname.rsplit(".", 1)[0] + ".bmp"
-                )
-                if os.path.exists(fix_path):
-                    fix = (
-                        cv2.imread(fix_path, cv2.IMREAD_GRAYSCALE).astype(np.float64)
-                        / 255.0
-                    )
-            for m in metrics:
-                if m == "cc":
-                    scores[m].append(M.CC(pred, gt))
-                elif m == "sim":
-                    scores[m].append(M.SIM(pred, gt))
-                elif m == "kldiv":
-                    scores[m].append(M.KLdiv(pred, gt))
-                elif m == "nss" and fix is not None:
-                    scores[m].append(M.NSS(pred, fix))
-                elif m == "auc_judd":
-                    target = fix if fix is not None else gt
-                    scores[m].append(M.AUC_Judd(pred, target, rng=rng))
-                elif m == "auc_borji" and fix is not None:
-                    scores[m].append(M.AUC_Borji(pred, fix, rng=rng))
-        results[vname] = {m: M.nan_filtered_mean(v) for m, v in scores.items() if v}
-    return results
+    vdirs = [
+        d for d in sorted(glob.glob(os.path.join(pred_root, "*")))
+        if os.path.isdir(d)
+    ]
+    vnames = [os.path.basename(d) for d in vdirs]
+    all_pairs = [
+        _video_frame_pairs(d, v, density_root, fixation_root)
+        for d, v in zip(vdirs, vnames)
+    ]
+
+    others: list[np.ndarray | None] = [None] * len(vdirs)
+    if "auc_shuffled" in metrics and fixation_root:
+        unions = [_fixation_union(p) for p in all_pairs]
+        for i in range(len(vdirs)):
+            pool = [u for j, u in enumerate(unions) if j != i and u is not None]
+            if pool:
+                # OR the other videos' unions at the largest native shape
+                shape = max((u.shape for u in pool), key=lambda s: s[0] * s[1])
+                acc = np.zeros(shape, bool)
+                for u in pool:
+                    if u.shape != shape:
+                        u = cv2.resize(
+                            u.astype(np.uint8), (shape[1], shape[0]),
+                            interpolation=cv2.INTER_NEAREST,
+                        ) > 0
+                    acc |= u
+                others[i] = acc
+
+    # deterministic per-video streams regardless of completion order
+    child_rngs = [np.random.default_rng(s) for s in rng.spawn(len(vdirs))] \
+        if vdirs else []
+    if workers is None:
+        workers = min(8, os.cpu_count() or 1)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(workers, thread_name_prefix="eval") as pool:
+        futs = [
+            pool.submit(_score_video, pairs, metrics, crng, other)
+            for pairs, crng, other in zip(all_pairs, child_rngs, others)
+        ]
+        return {v: f.result() for v, f in zip(vnames, futs)}

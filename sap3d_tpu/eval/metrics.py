@@ -106,6 +106,11 @@ def AUC_Borji(
         return float("nan")
     if s.shape != f.shape:
         s = _resize_to(s, f.shape)
+    if s.max() == s.min():
+        # constant map: range normalization is 0/0 (the reference emits a
+        # NaN array here and the score is dropped by the NaN filter,
+        # reference metric_utils.py:34-36 + test.py:177-183)
+        return float("nan")
     s = normalize(s, "range")
 
     S = s.ravel()
@@ -120,20 +125,27 @@ def AUC_Borji(
     else:
         S_rand = rand_sampler(S, F, n_rep, n_fix)
 
-    auc = np.full(n_rep, np.nan)
-    for rep in range(n_rep):
-        # thresholds = np.r_[0 : max : step][::-1] (reference metrics.py:145)
-        hi = float(np.max(np.concatenate([S_fix, S_rand[:, rep]])))
-        thresholds = np.arange(0.0, hi, step_size)[::-1]
-        tp = np.zeros(len(thresholds) + 2)
-        fp = np.zeros(len(thresholds) + 2)
-        tp[-1] = 1.0
-        fp[-1] = 1.0
-        tp[1:-1] = (S_fix[None, :] >= thresholds[:, None]).sum(1) / float(n_fix)
-        fp[1:-1] = (S_rand[None, :, rep] >= thresholds[:, None]).sum(1) / float(
-            n_fix
-        )
-        auc[rep] = np.trapezoid(tp, fp)
+    # Vectorized across the n_rep repetitions (the reference loops per rep,
+    # reference metrics.py:140-152).  Every rep's threshold list is the
+    # descending multiples of step_size below its own max
+    # (np.arange(0, hi_rep, step)[::-1]); using the GLOBAL grid for all reps
+    # is exact: a threshold above a rep's max scores tp=fp=0, and extra
+    # (0, 0) points contribute precisely zero trapezoid area.
+    hi = float(max(S_fix.max(), S_rand.max()))
+    thresholds = np.arange(0.0, hi, step_size)[::-1]  # [n_th], descending
+    n_th = len(thresholds)
+    tp = np.zeros((n_th + 2, n_rep))
+    fp = np.zeros((n_th + 2, n_rep))
+    tp[-1] = 1.0
+    fp[-1] = 1.0
+    # tp is rep-independent (same fixation saliencies every rep)
+    tp[1:-1] = (
+        (S_fix[None, :] >= thresholds[:, None]).sum(1) / float(n_fix)
+    )[:, None]
+    fp[1:-1] = (
+        (S_rand[None, :, :] >= thresholds[:, None, None]).sum(1) / float(n_fix)
+    )
+    auc = np.trapezoid(tp, fp, axis=0)
     return float(np.mean(auc))
 
 
@@ -177,14 +189,24 @@ def NSS(saliency_map: np.ndarray, fixation_map: np.ndarray) -> float:
 
 
 def CC(saliency_map1: np.ndarray, saliency_map2: np.ndarray) -> float:
-    """Pearson correlation of standardized maps (reference metrics.py:227-250)."""
+    """Pearson correlation of standardized maps (reference metrics.py:227-250).
+
+    Computed directly from the moment sums (one pass per map) rather than
+    standardize + np.corrcoef (which costs ~8 full-map passes + temporaries);
+    Pearson is invariant to the standardization so the value is identical
+    (oracle-checked in tests/test_metrics.py)."""
     m1 = np.asarray(saliency_map1, dtype=np.float64)
     m2 = np.asarray(saliency_map2, dtype=np.float64)
     if m1.shape != m2.shape:
         m1 = _resize_to(m1, m2.shape)
-    m1 = normalize(m1, "standard")
-    m2 = normalize(m2, "standard")
-    return float(np.corrcoef(m1.ravel(), m2.ravel())[0, 1])
+    a = m1.ravel()
+    b = m2.ravel()
+    am = a.mean()
+    bm = b.mean()
+    cov = np.dot(a, b) / a.size - am * bm
+    va = np.dot(a, a) / a.size - am * am
+    vb = np.dot(b, b) / b.size - bm * bm
+    return float(cov / np.sqrt(va * vb))
 
 
 def SIM(saliency_map1: np.ndarray, saliency_map2: np.ndarray) -> float:

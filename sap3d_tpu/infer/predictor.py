@@ -23,6 +23,7 @@ transfer into a single pass and keeping the MXU fed with batched clips.
 from __future__ import annotations
 
 import os
+import shutil
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Sequence
 
@@ -70,7 +71,11 @@ class SlidingWindowPredictor:
         self._write_pool = ThreadPoolExecutor(
             num_threads // 2 or 1, thread_name_prefix="pred-write"
         )
-        self._pending_writes: list = []
+        # write-behind bookkeeping: (futures, tmp_dir, final_dir) per video;
+        # a video's dir only appears under its final name once every JPEG
+        # has been flushed, so skip_existing on a rerun never skips a
+        # partially-written video (crash mid-run leaves only *.tmp-partial)
+        self._pending_videos: list[tuple[list, str, str]] = []
 
         # Gathering is jitted separately from the model call: apply_fn is
         # typically a jitted closure over the train state, and nesting it
@@ -198,31 +203,49 @@ class SlidingWindowPredictor:
         with ``wait=False`` the writes trail in the background (call
         :meth:`flush_writes` before relying on the files) so the next
         video's decode/inference overlaps them.
+
+        Crash safety: frames are written into ``<save_dir>.tmp-partial`` and
+        the directory is renamed to ``save_dir`` only after every write has
+        completed, so a crash mid-run never leaves a final-named dir with
+        missing frames for skip_existing to silently skip.
         """
         if os.path.exists(save_dir) and skip_existing:
             return False
         maps = self.predict_video(self._video_paths(frame_dir), frames=frames)
-        os.makedirs(save_dir, exist_ok=True)
+        tmp_dir = save_dir + ".tmp-partial"
+        if os.path.exists(tmp_dir):  # stale partial from a crashed run
+            shutil.rmtree(tmp_dir)
+        os.makedirs(tmp_dir)
 
         def write_one(i: int) -> None:
             img = cv2.resize(maps[i] * 255.0, dsize=self.out_size)
             img = np.clip(img, 0, 255).astype(np.uint8)
-            cv2.imwrite(os.path.join(save_dir, f"frame_{i + 1}.jpg"), img)
+            cv2.imwrite(os.path.join(tmp_dir, f"frame_{i + 1}.jpg"), img)
 
         futs = [self._write_pool.submit(write_one, i)
                 for i in range(maps.shape[0])]
         if wait:
             for f in futs:
                 f.result()
+            self._finalize_video(tmp_dir, save_dir)
         else:
-            self._pending_writes.extend(futs)
+            self._pending_videos.append((futs, tmp_dir, save_dir))
         return True
 
+    @staticmethod
+    def _finalize_video(tmp_dir: str, save_dir: str) -> None:
+        if os.path.exists(save_dir):  # only with skip_existing=False
+            shutil.rmtree(save_dir)
+        os.rename(tmp_dir, save_dir)
+
     def flush_writes(self) -> None:
-        """Block until all write-behind JPEG writes have completed."""
-        for f in self._pending_writes:
-            f.result()
-        self._pending_writes.clear()
+        """Block until all write-behind JPEG writes have completed and
+        rename each completed video's tmp dir to its final name."""
+        for futs, tmp_dir, save_dir in self._pending_videos:
+            for f in futs:
+                f.result()
+            self._finalize_video(tmp_dir, save_dir)
+        self._pending_videos.clear()
 
     def export_dataset(self, data_root: str, save_root: str) -> int:
         """All videos under data_root, sorted (reference gen_pred.py:70-86).

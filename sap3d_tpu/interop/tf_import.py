@@ -32,6 +32,17 @@ Kernel layout transforms (verified element-exact in tests):
 Scope: the BN family (reference p3d.py's 6 variants).  The GN family's
 checkpoints additionally need GroupNorm/CBAM mappings — see
 ``variable_mapping`` for the explicit error.
+
+Residual risk (documented, not fully closable): the SA-variant auto-name
+regeneration (x_*_sa scopes consuming the graph-global conv3d /
+batch_normalization counters) cannot be validated against a real reference
+graph — those graphs only build under Python 2 — so py2-era SA checkpoints
+rely entirely on the modeled naming.  Only ``p3d_unetplusplus_nonsa`` and
+the GN-easy variants are roundtrip-proven against reference-built graphs
+(tests/test_tf_import.py).  As a guard, ``map_tf_variables`` reports any
+unmapped non-optimizer variables left in the checkpoint, so a naming
+mismatch on a real SA checkpoint fails loudly (listing the stranded TF
+names) instead of surfacing only as missing flax keys.
 """
 
 from __future__ import annotations
@@ -418,9 +429,34 @@ def map_tf_variables(model_name: str, tf_vars: dict[str, np.ndarray]) -> dict:
         for key in e.path[:-1]:
             node = node.setdefault(key, {})
         node[e.path[-1]] = arr
-    # Optimizer slots (Adam moments 'xxx/Adam', 'xxx/Adam_1') and other
-    # non-model variables in tf_vars are intentionally ignored.
+    # Optimizer slots (Adam moments 'xxx/Adam', 'xxx/Adam_1') and TF
+    # bookkeeping variables are intentionally ignored — but any OTHER
+    # leftover means the modeled naming and the checkpoint disagree
+    # (e.g. a py2-era SA checkpoint whose auto-numbered scopes differ from
+    # the regeneration): fail loudly with the stranded names.
+    mapped = {e.tf_name for e in entries}
+    leftovers = [
+        name for name in sorted(tf_vars)
+        if name not in mapped and not _is_non_model_variable(name)
+    ]
+    if leftovers:
+        raise ValueError(
+            f"checkpoint contains {len(leftovers)} model-like variables the "
+            f"{model_name} mapping does not cover (naming mismatch?): "
+            f"{leftovers[:8]}{' ...' if len(leftovers) > 8 else ''}"
+        )
     return out
+
+
+def _is_non_model_variable(name: str) -> bool:
+    """TF optimizer slots / trainer bookkeeping that legitimately live in
+    reference checkpoints alongside the model weights
+    (reference train.py:168-185: AdamOptimizer slots + Saver)."""
+    last = name.rsplit("/", 1)[-1]
+    return (
+        last in ("Adam", "Adam_1")
+        or name in ("beta1_power", "beta2_power", "global_step")
+    )
 
 
 def validate_against_model(variables: dict, model, input_shape: tuple) -> None:

@@ -32,6 +32,10 @@ from jax.experimental.pallas import tpu as pltpu
 BLOCK_Q = 256
 # Leave headroom under the ~16MB/core VMEM for double buffering.
 VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+# The backward's footprint is modeled more tightly (no blanket 2x factor:
+# k/v/dk/dv are grid-resident and the [BQ, Nk] intermediates are scratch),
+# so its budget sits closer to the physical 16MB.
+VMEM_BUDGET_BWD_BYTES = 12 * 1024 * 1024
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
@@ -236,15 +240,34 @@ flash_attend_tokens.defvjp(_fwd_rule, _bwd_rule)
 def flash_attention_viable(
     nq: int, nk: int, d: int, c: int, itemsize: int = 4
 ) -> bool:
-    """Whole-k/v-in-VMEM check for the kernel's blocking scheme."""
-    need = (
+    """Whole-k/v-in-VMEM check for the kernel's blocking scheme.
+
+    Models BOTH the forward and the backward footprints (the backward holds
+    three [BLOCK_Q_BWD, Nk] fp32 intermediates plus fp32 dk/dv accumulators
+    resident in VMEM, so shapes can pass the forward gate yet only blow VMEM
+    in the backward)."""
+    fwd = (
         nk * d * itemsize  # k
         + nk * c * itemsize  # v
         + BLOCK_Q * nk * 4  # scores in fp32
         + BLOCK_Q * (d + c) * itemsize  # q block + o block
     )
-    # 2x for pipeline double buffering of the q/o blocks (k/v are reused).
-    return need * 2 <= VMEM_BUDGET_BYTES and nq >= BLOCK_Q
+    bwd = (
+        nk * (d + c) * itemsize  # k + v inputs (grid-resident)
+        + nk * (d + c) * 4  # fp32 dk/dv accumulators, qi-invariant resident
+        # [BQ, Nk] fp32 intermediates (s/p, dp, ds): at most two live at
+        # once (s->p in place; dp consumed into ds; p kept for dv).
+        + 2 * BLOCK_Q_BWD * nk * 4
+        # streamed per-q-block buffers (q, do, o, lse in; dq out),
+        # double-buffered by the pipeline.
+        + 2 * (BLOCK_Q_BWD * (d + 2 * c + 1) * itemsize
+               + BLOCK_Q_BWD * d * 4)
+    )
+    return (
+        fwd * 2 <= VMEM_BUDGET_BYTES
+        and bwd <= VMEM_BUDGET_BWD_BYTES
+        and nq >= BLOCK_Q
+    )
 
 
 @functools.cache

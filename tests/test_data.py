@@ -300,5 +300,7 @@ def test_unreadable_frame_fails_loudly(tmp_path):
         imread_checked(str(tmp_path / "nope_frame_3.jpg"), cv2.IMREAD_COLOR)
     bad = tmp_path / "corrupt_frame_4.jpg"
     bad.write_bytes(b"not a jpeg")
-    with pytest.raises(FileNotFoundError, match="corrupt_frame_4.jpg"):
+    # existing-but-undecodable files raise ValueError, NOT FileNotFoundError
+    # (callers catching FileNotFoundError mean "missing file")
+    with pytest.raises(ValueError, match="corrupt_frame_4.jpg"):
         imread_checked(str(bad), cv2.IMREAD_COLOR)

@@ -68,3 +68,75 @@ def test_evaluate_prediction_oracle_prediction():
         iter(batches), oracle_forward, out_size=(32, 32), log_every=0
     )
     assert result["cc"] > 0.5  # downscale+upscale keeps strong correlation
+
+
+def _make_score_tree(root, n_videos=3, n_frames=4, size=24, seed=0):
+    """pred/density/fixation dir trees in the reference layout
+    (frame_%d.jpg densities, frame_%d.bmp fixations)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size]
+    for v in range(n_videos):
+        vname = f"video{v}"
+        for sub in ("pred", "density", "fixation"):
+            (root / sub / vname).mkdir(parents=True, exist_ok=True)
+        cx, cy = rng.uniform(4, size - 4, 2)
+        blob = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / 18.0)
+        for i in range(1, n_frames + 1):
+            noise = rng.random((size, size)) * 0.2
+            cv2.imwrite(str(root / "pred" / vname / f"frame_{i}.jpg"),
+                        np.uint8(np.clip(blob + noise, 0, 1) * 255))
+            cv2.imwrite(str(root / "density" / vname / f"frame_{i}.jpg"),
+                        np.uint8(blob * 255))
+            fix = np.zeros((size, size), np.uint8)
+            fys = np.clip(
+                rng.normal([cy, cx], 2.0, size=(5, 2)).astype(int), 0, size - 1
+            )
+            fix[fys[:, 0], fys[:, 1]] = 255
+            cv2.imwrite(str(root / "fixation" / vname / f"frame_{i}.bmp"), fix)
+
+
+def test_evaluate_saliency_dirs_parallel_deterministic(tmp_path):
+    """Same scores for any worker count and a fixed seed (the per-video
+    child RNGs are drawn up-front in sorted-name order)."""
+    from sap3d_tpu.eval.evaluator import evaluate_saliency_dirs
+
+    _make_score_tree(tmp_path)
+    kw = dict(
+        fixation_root=str(tmp_path / "fixation"),
+        metrics=("cc", "sim", "auc_judd", "auc_borji", "auc_shuffled"),
+    )
+    r1 = evaluate_saliency_dirs(
+        str(tmp_path / "pred"), str(tmp_path / "density"),
+        rng=np.random.default_rng(7), workers=1, **kw)
+    r4 = evaluate_saliency_dirs(
+        str(tmp_path / "pred"), str(tmp_path / "density"),
+        rng=np.random.default_rng(7), workers=4, **kw)
+    assert r1 == r4
+    assert set(r1) == {"video0", "video1", "video2"}
+    for scores in r1.values():
+        assert set(scores) == {"cc", "sim", "auc_judd", "auc_borji",
+                               "auc_shuffled"}
+        # predictions are the (noised) ground-truth blobs: all AUCs high
+        assert scores["auc_judd"] > 0.8
+        assert scores["auc_borji"] > 0.7
+        # shuffled AUC penalizes center-bias-like overlap with other-video
+        # fixations but must remain a valid, finite score here
+        assert 0.0 <= scores["auc_shuffled"] <= 1.0
+        assert scores["cc"] > 0.8
+
+
+def test_auc_shuffled_discriminates_on_dirs(tmp_path):
+    """A prediction equal to the GT blob scores higher shuffled AUC than a
+    uniform map (negatives drawn from other videos' fixations)."""
+    from sap3d_tpu.eval.evaluator import evaluate_saliency_dirs
+
+    _make_score_tree(tmp_path, seed=5)
+    # overwrite video0's preds with pure noise (chance-level saliency)
+    nrng = np.random.default_rng(1)
+    for f in (tmp_path / "pred" / "video0").glob("*.jpg"):
+        cv2.imwrite(str(f), nrng.integers(0, 256, (24, 24)).astype(np.uint8))
+    r = evaluate_saliency_dirs(
+        str(tmp_path / "pred"), str(tmp_path / "density"),
+        fixation_root=str(tmp_path / "fixation"),
+        metrics=("auc_shuffled",), rng=np.random.default_rng(0))
+    assert r["video1"]["auc_shuffled"] > r["video0"]["auc_shuffled"]
