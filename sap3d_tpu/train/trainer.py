@@ -219,7 +219,10 @@ class Trainer:
                 plot_curves(self.logs_dir)
 
             if step >= cfg.save_iter and step % cfg.save_iter < k:
-                self.ckpt.save(self.state, step)
+                t_save = time.time()
+                self.ckpt.save(self.state, step)  # async: returns post-snapshot
+                self._log({"step": step,
+                           "save_dispatch_s": time.time() - t_save})
 
             if cfg.max_steps is not None and step >= cfg.max_steps:
                 break

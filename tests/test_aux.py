@@ -104,3 +104,43 @@ def test_inspect_checkpoint(tmp_path):
     # filtering works (reference utils/test_model.py printed conv vars only)
     stem_rows = inspect(str(tmp_path / "ck"), "stem")
     assert 0 < len(stem_rows) < len(rows)
+
+
+def test_async_checkpoint_semantics(tmp_path):
+    """save() is async (no per-save barrier); restore() barriers on any
+    in-flight save so it never reads a half-written checkpoint, and
+    back-to-back saves + keep-K retention still work."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sap3d_tpu.models.p3d import P3DSaliency
+    from sap3d_tpu.train.checkpoint import CheckpointManager
+    from sap3d_tpu.train.state import create_train_state
+
+    model = P3DSaliency(
+        decoder="unetpp", decoder_kwargs=dict(attention="none", head="ds"),
+        norm_mode="bn", stages=((4, 1), (4, 1), (4, 1)), stem_features=4,
+    )
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), input_shape=(1, 16, 16, 16, 3)
+    )
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
+    try:
+        # three quick saves with mutated params, no explicit waits between
+        for step in (1, 2, 3):
+            state = state.replace(
+                params=jax.tree.map(lambda p: p + step, state.params),
+                step=jnp.asarray(step),
+            )
+            mgr.save(state, step)
+        # restore immediately (must barrier internally) and match step 3
+        restored = mgr.restore(state)
+        for a, b in zip(jax.tree.leaves(restored.params),
+                        jax.tree.leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(restored.step) == 3
+        mgr.wait_until_finished()  # explicit barrier is idempotent
+        assert mgr.latest_step() == 3
+    finally:
+        mgr.close()
