@@ -94,6 +94,12 @@ class Trainer:
         self._metrics_log = open(
             os.path.join(self.logs_dir, "metrics.jsonl"), "a"
         )
+        # TensorBoard scalar events alongside metrics.jsonl (the reference's
+        # tf.summary FileWriter surface, reference train.py:164,176-177);
+        # dependency-free writer, see train/tb_events.py
+        from sap3d_tpu.train.tb_events import EventWriter
+
+        self._tb = EventWriter(self.logs_dir)
 
         if cfg.train.pretrain:
             pre_dir = os.path.join(cfg.train.model_dir, cfg.train.pretrain)
@@ -106,6 +112,9 @@ class Trainer:
         record["time"] = datetime.datetime.now().isoformat(timespec="seconds")
         self._metrics_log.write(json.dumps(record) + "\n")
         self._metrics_log.flush()
+        if "step" in record:
+            self._tb.scalars(record, record["step"])
+            self._tb.flush()
 
     def _dump_images(self, step: int, pred_last: np.ndarray, gt_last: np.ndarray):
         """pred/GT last-frame JPEG pairs (reference train.py:227-239)."""
@@ -264,3 +273,4 @@ class Trainer:
     def close(self):
         self.ckpt.close()
         self._metrics_log.close()
+        self._tb.close()

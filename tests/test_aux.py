@@ -106,6 +106,31 @@ def test_inspect_checkpoint(tmp_path):
     assert 0 < len(stem_rows) < len(rows)
 
 
+def test_tb_event_writer_tf_readable(tmp_path):
+    """The hand-encoded event file must be readable by TensorFlow's own
+    summary_iterator (the authoritative reader of what the reference's
+    FileWriter wrote, reference train.py:164,176-177)."""
+    tf = __import__("pytest").importorskip("tensorflow")
+
+    from sap3d_tpu.train.tb_events import EventWriter
+
+    w = EventWriter(str(tmp_path))
+    w.scalar("total_loss", 12.5, step=3)
+    w.scalars({"step": 7, "loss": 0.25, "clips_per_sec": 148.0,
+               "time": "2026-08-17T00:00:00"}, step=7)
+    w.flush()
+    w.close()
+
+    got = []
+    for ev in tf.compat.v1.train.summary_iterator(w.path):
+        for v in ev.summary.value:
+            got.append((v.tag, round(float(v.simple_value), 4), ev.step))
+    assert ("total_loss", 12.5, 3) in got
+    assert ("loss", 0.25, 7) in got
+    assert ("clips_per_sec", 148.0, 7) in got
+    assert not any(tag == "time" for tag, _, _ in got)  # non-numeric skipped
+
+
 def test_async_checkpoint_semantics(tmp_path):
     """save() is async (no per-save barrier); restore() barriers on any
     in-flight save so it never reads a half-written checkpoint, and

@@ -182,12 +182,12 @@ def test_reference_checkpoint_roundtrip_bn(tmp_path, ref_p3d):
     )
 
 
-def test_cli_eval_tf_checkpoint(tmp_path, ref_p3d):
-    """`cli eval --tf-checkpoint` scores a reference TF1 checkpoint directly
-    (the reference test.py workflow, test.py:138-183) — exercises the CLI
-    wiring: import, bn_reference_quirk inference, the 5-metric protocol."""
+@pytest.fixture(scope="module")
+def nonsa_ckpt(tmp_path_factory, ref_p3d):
+    """A reference-built TF1 Saver checkpoint of p3d_unetplusplus_nonsa,
+    shared by the CLI eval/predict workflow tests."""
     tf1, p3d_ref, _ = ref_p3d
-
+    tmp = tmp_path_factory.mktemp("nonsa_ckpt")
     graph = tf1.Graph()
     with graph.as_default():
         tf1.set_random_seed(7)
@@ -196,7 +196,15 @@ def test_cli_eval_tf_checkpoint(tmp_path, ref_p3d):
         saver = tf1.train.Saver()
         with tf1.Session(graph=graph) as sess:
             sess.run(tf1.global_variables_initializer())
-            ckpt = saver.save(sess, str(tmp_path / "cli_ref.ckpt"))
+            ckpt = saver.save(sess, str(tmp / "cli_ref.ckpt"))
+    return ckpt
+
+
+def test_cli_eval_tf_checkpoint(tmp_path, nonsa_ckpt):
+    """`cli eval --tf-checkpoint` scores a reference TF1 checkpoint directly
+    (the reference test.py workflow, test.py:138-183) — exercises the CLI
+    wiring: import, bn_reference_quirk inference, the 5-metric protocol."""
+    ckpt = nonsa_ckpt
 
     from sap3d_tpu.data.synthetic import make_synthetic_dataset
 
@@ -224,6 +232,200 @@ def test_cli_eval_tf_checkpoint(tmp_path, ref_p3d):
     assert len(rows) > 40
     assert all(len(shape) in (1, 5) for _, shape in rows)  # biases + kernels
     assert cli.main(["inspect", "--tf", ckpt, "conv"]) == 0
+
+
+def test_cli_predict_tf_checkpoint(tmp_path, nonsa_ckpt):
+    """`cli predict --tf-checkpoint` exports a synthetic video from a
+    reference-built TF1 checkpoint end to end (the reference's flagship
+    gen_pred.py workflow, reference gen_pred.py:56-168), asserting the
+    emission protocol: first window emits frames 1..16, later windows the
+    last frame, `frame_%d.jpg` at 960x1080, and reruns skip existing dirs."""
+    from sap3d_tpu import cli
+    from sap3d_tpu.data.synthetic import make_synthetic_dataset
+
+    n_frames = 20
+    ds = make_synthetic_dataset(
+        str(tmp_path / "data"), num_videos=2, frames_per_video=n_frames,
+        size=(64, 48), with_fixations=False,
+    )
+    out_root = str(tmp_path / "pred")
+    rc = cli.main([
+        "predict", "--structure", "p3d_unetplusplus_nonsa",
+        "--tf-checkpoint", nonsa_ckpt,
+        "--data", ds["frame_dirs"], "--out", out_root,
+        "--batch-windows", "2",
+    ])
+    assert rc == 0
+
+    vdirs = sorted(os.listdir(out_root))
+    assert len(vdirs) == 2 and not any(v.endswith(".tmp-partial") for v in vdirs)
+    first = os.path.join(out_root, vdirs[0])
+    names = sorted(os.listdir(first),
+                   key=lambda n: int(n.split("_")[1].split(".")[0]))
+    # every frame 1..N emitted exactly once (first window covers 1..16,
+    # then one per sliding step, reference gen_pred.py:154-168)
+    assert names == [f"frame_{i}.jpg" for i in range(1, n_frames + 1)]
+    import cv2 as _cv2
+
+    img = _cv2.imread(os.path.join(first, names[0]), _cv2.IMREAD_GRAYSCALE)
+    assert img.shape == (1080, 960)  # cv2.resize(dsize=(960,1080)) -> HxW
+
+    # skip-existing on rerun (reference gen_pred.py:83-86): no rewrite
+    mtimes = {n: os.path.getmtime(os.path.join(first, n)) for n in names}
+    rc = cli.main([
+        "predict", "--structure", "p3d_unetplusplus_nonsa",
+        "--tf-checkpoint", nonsa_ckpt,
+        "--data", ds["frame_dirs"], "--out", out_root,
+        "--batch-windows", "2",
+    ])
+    assert rc == 0
+    assert mtimes == {
+        n: os.path.getmtime(os.path.join(first, n)) for n in names
+    }
+
+
+def test_train_step_parity_vs_tf_autodiff(tmp_path, ref_p3d):
+    """One reference train step (tf.gradients + AdamOptimizer.minimize with
+    the UPDATE_OPS control dependency, reference train.py:158-172) vs one JAX
+    train step from the SAME imported weights and batch: loss, gradients and
+    the Adam parameter update must agree.
+
+    Dropout is disabled on both sides (TF keep_prob=1.0 / flax rate=0.0) so
+    the comparison is deterministic; BN runs in training mode (batch stats)
+    on both sides, as in the reference's hot loop."""
+    import sys as _sys
+
+    tf1, p3d_ref, _ = ref_p3d
+    net = _sys.modules["utils.network"]  # the reference's own loss
+    shape = (1, 16, 32, 32, 3)
+    rng = np.random.default_rng(1)
+    x = (rng.normal(size=shape) * 0.3).astype(np.float32)
+    y = rng.random(shape[:4]).astype(np.float32)
+    lr = 1e-4
+
+    graph = tf1.Graph()
+    with graph.as_default():
+        tf1.set_random_seed(7)
+        xin = tf1.placeholder(tf1.float32, shape)
+        yin = tf1.placeholder(tf1.float32, shape[:4])
+        out = p3d_ref.p3d_unetplusplus_nonsa(
+            xin, 0.0, batch_size=1, training=True)  # rate=0: no dropout
+        pred = tf1.reshape(out, shape[:4])          # reference train.py:156
+        loss = net.smooth_l1_loss(pred, yin, 1, 1, sigma=1.0)
+        tvars = tf1.trainable_variables()
+        grads_t = tf1.gradients(loss, tvars)
+        update_ops = tf1.get_collection(tf1.GraphKeys.UPDATE_OPS)
+        with tf1.control_dependencies(update_ops):
+            train_op = tf1.train.AdamOptimizer(lr).minimize(loss)
+        saver = tf1.train.Saver()
+        feed = {xin: x, yin: y}
+        with tf1.Session(graph=graph) as sess:
+            sess.run(tf1.global_variables_initializer())
+            ckpt = saver.save(sess, str(tmp_path / "train_ref.ckpt"))
+            loss_tf, grad_vals = sess.run([loss, grads_t], feed)
+            before = {v.op.name: a for v, a in
+                      zip(tvars, sess.run(tvars))}
+            sess.run(train_op, feed)
+            after = {v.op.name: a for v, a in zip(tvars, sess.run(tvars))}
+            loss_tf_after = sess.run(loss, feed)
+    tf_grads = {v.op.name: g for v, g in zip(tvars, grad_vals)}
+
+    # -- JAX side: same weights, same batch, the production train step ------
+    from sap3d_tpu.interop.tf_import import MapEntry, _transform  # noqa: F401
+    from sap3d_tpu.train.state import create_train_state
+    from sap3d_tpu.train.steps import make_train_step
+
+    variables = import_checkpoint("p3d_unetplusplus_nonsa", ckpt)
+    model = build_model("p3d_unetplusplus_nonsa", dropout_rate=0.0)
+    validate_against_model(variables, model, shape)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), input_shape=shape, lr=lr
+    )
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        opt_state=state.tx.init(variables["params"]),
+    )
+    train_step = make_train_step(model, donate=False)
+    new_state, loss_jax = train_step(
+        state, jnp.asarray(x), jnp.asarray(y), jax.random.PRNGKey(3)
+    )
+    loss_jax = float(loss_jax)
+
+    # 1. loss parity (sum-reduced over all elements -> large magnitude)
+    assert abs(loss_jax - loss_tf) / abs(loss_tf) < 2e-3, (loss_jax, loss_tf)
+
+    # 2. gradient parity, tensor by tensor, via the weight mapping (the
+    #    tconv transform is an element permutation, so it maps gradients too)
+    entries = [e for e in variable_mapping("p3d_unetplusplus_nonsa")
+               if e.collection == "params"]
+    flat_jax = {
+        tuple(p.key for p in path): np.asarray(leaf)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+            jax.tree.map(lambda a: a, state.params))[0]
+    }
+    # recompute grads explicitly (the train step consumed them into Adam)
+    def loss_of(params):
+        out2, _ = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            jnp.asarray(x), train=True,
+            rngs={"dropout": jax.random.PRNGKey(3)}, mutable=["batch_stats"],
+        )
+        from sap3d_tpu.train.steps import loss_fn_saliency
+
+        return loss_fn_saliency(out2, jnp.asarray(y))
+
+    jax_grads_tree = jax.grad(loss_of)(state.params)
+    flat_g = {
+        tuple(p.key for p in path): np.asarray(leaf)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+            jax_grads_tree)[0]
+    }
+    cors, n_checked = [], 0
+    for e in entries:
+        g_tf = _transform(e.transform, tf_grads[e.tf_name])
+        g_jx = flat_g[e.path]
+        assert g_tf.shape == g_jx.shape, e.tf_name
+        a, b = g_tf.ravel(), g_jx.ravel()
+        if a.size < 8 or np.std(a) == 0:
+            continue
+        cors.append(np.corrcoef(a.astype(np.float64), b.astype(np.float64))[0, 1])
+        n_checked += 1
+    cors = np.asarray(cors)
+    assert n_checked > 200  # essentially the whole parameter set
+    assert np.median(cors) > 0.999, np.median(cors)
+    assert (cors > 0.98).mean() > 0.95, (np.sort(cors)[:10], (cors > 0.98).mean())
+
+    # 3. the Adam update direction matches: delta-params correlation
+    flat_new = {
+        tuple(p.key for p in path): np.asarray(leaf)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+            new_state.params)[0]
+    }
+    dcors = []
+    for e in entries:
+        d_tf = _transform(e.transform, after[e.tf_name] - before[e.tf_name])
+        d_jx = flat_new[e.path] - flat_jax[e.path]
+        a, b = d_tf.ravel(), d_jx.ravel()
+        if a.size < 8 or np.std(a) == 0:
+            continue
+        dcors.append(np.corrcoef(a.astype(np.float64), b.astype(np.float64))[0, 1])
+    dcors = np.asarray(dcors)
+    assert np.median(dcors) > 0.99, np.median(dcors)
+
+    # 4. post-step loss parity (same batch, updated params + stats)
+    out_after, _ = model.apply(
+        {"params": new_state.params, "batch_stats": new_state.batch_stats},
+        jnp.asarray(x), train=True,
+        rngs={"dropout": jax.random.PRNGKey(5)}, mutable=["batch_stats"],
+    )
+    from sap3d_tpu.train.steps import loss_fn_saliency
+
+    loss_jax_after = float(loss_fn_saliency(out_after, jnp.asarray(y)))
+    assert abs(loss_jax_after - loss_tf_after) / abs(loss_tf_after) < 5e-3, (
+        loss_jax_after, loss_tf_after)
+    # and the step actually learned on both sides
+    assert loss_tf_after < loss_tf
+    assert loss_jax_after < loss_jax
 
 
 def test_reference_checkpoint_roundtrip_gn_cbam(tmp_path, ref_p3d):
