@@ -96,6 +96,17 @@ def cmd_train(argv) -> int:
     p.add_argument("--distributed", type=parse_bool, default=False,
                    help="multi-host: run jax.distributed.initialize() so the "
                         "mesh spans all hosts; --batch is the GLOBAL batch")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="multi-host coordinator address host:port (omit on "
+                        "TPU pods: auto-detected)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--dropout", type=float, default=0.5,
+                   help="decoder dropout rate (reference train.py:218 feeds "
+                        "0.5; 0 disables)")
+    p.add_argument("--shuffle", type=parse_bool, default=True,
+                   help="per-epoch clip shuffle; false = the reference's "
+                        "dataflow_list.py no-shuffle variant")
     args = p.parse_args(argv)
 
     import jax
@@ -106,7 +117,14 @@ def cmd_train(argv) -> int:
     from sap3d_tpu.train.trainer import Trainer
 
     if args.distributed:
-        initialize_distributed()
+        dist_kw = {}
+        if args.coordinator:
+            dist_kw = dict(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        initialize_distributed(**dist_kw)
     proc_idx, proc_cnt = jax.process_index(), jax.process_count()
     if args.batch % proc_cnt != 0:
         print(f"--batch {args.batch} must divide by process_count {proc_cnt}",
@@ -115,7 +133,8 @@ def cmd_train(argv) -> int:
     host_batch = args.batch // proc_cnt
 
     cfg = Config(
-        model=ModelConfig(name=args.structure, dtype=args.dtype),
+        model=ModelConfig(name=args.structure, dtype=args.dtype,
+                          dropout=args.dropout),
         data=_data_config(args),
         train=TrainConfig(
             batch_size=args.batch, lr=args.lr, epochs=args.epoch,
@@ -139,7 +158,7 @@ def cmd_train(argv) -> int:
     train_loader = ClipLoader(
         idx.train_clips(), host_batch, size=cfg.data.image_size,
         num_threads=cfg.data.num_threads, epochs=cfg.train.epochs,
-        cache_frames=cfg.data.cache_frames,
+        cache_frames=cfg.data.cache_frames, shuffle=args.shuffle,
         process_index=proc_idx, process_count=proc_cnt,
     )
     valid_fn = lambda: ClipLoader(  # noqa: E731
@@ -193,6 +212,9 @@ def cmd_eval(argv) -> int:
                         "batch statistics (the reference never forwards its "
                         "training flag into make_block, p3d.py:290-303); "
                         "implied by --tf-checkpoint")
+    p.add_argument("--devices", type=int, default=-1,
+                   help="evaluate data-parallel over this many devices "
+                        "(-1 = all local); --batch must divide by it")
     args = p.parse_args(argv)
     if not args.checkpoint and not args.tf_checkpoint:
         p.error("one of --checkpoint / --tf-checkpoint is required")
@@ -263,7 +285,18 @@ def cmd_eval(argv) -> int:
                       file=sys.stderr)
                 failures += 1
                 continue
-        ev = make_eval_step(model)
+        # mesh-sharded eval: a multi-chip host scores batches data-parallel
+        # (the reference's device-bound eval loop, test.py:160, scaled)
+        from sap3d_tpu.core import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh(args.devices)
+        n_dev = mesh.devices.size
+        if args.batch % n_dev == 0 and n_dev > 1:
+            ev = make_eval_step(model, mesh=mesh)
+            put = lambda f: mesh_lib.shard_batch(mesh, jax.numpy.asarray(f))  # noqa: E731
+        else:
+            ev = make_eval_step(model)
+            put = jax.numpy.asarray
         loader = ClipLoader(
             idx.valid_clips(with_fixations=True), args.batch,
             size=data.image_size, num_threads=data.num_threads, shuffle=False,
@@ -271,7 +304,7 @@ def cmd_eval(argv) -> int:
         )
         with loader:
             result = evaluate_prediction_batches(
-                iter(loader), lambda f: ev(state, jax.numpy.asarray(f))
+                iter(loader), lambda f: ev(state, put(f))
             )
         results[run] = result
         print(

@@ -18,12 +18,23 @@ DATA_AXIS = "data"
 
 def initialize_distributed(**kw) -> None:
     """Multi-host hook: call once per process before any jax use on a
-    multi-host slice (coordinator/process env vars are auto-detected on TPU
-    pods).  After this, jax.devices() is GLOBAL and make_mesh spans the whole
-    slice.  No-op when already initialized or single-process."""
-    try:
+    multi-host slice.  After this, jax.devices() is GLOBAL and make_mesh
+    spans the whole slice.
+
+    With explicit kwargs (coordinator_address/num_processes/process_id — the
+    CLI's --coordinator/--num-processes/--process-id), failures PROPAGATE: a
+    misconfigured coordinator must not be silently swallowed.  Without
+    kwargs (TPU-pod auto-detection), a RuntimeError from running outside a
+    multi-host environment (or double initialization) is a benign no-op."""
+    if kw:
         jax.distributed.initialize(**kw)
-    except (RuntimeError, ValueError) as e:  # already initialized / 1-process
+        return
+    try:
+        jax.distributed.initialize()
+    except RuntimeError as e:  # already initialized
+        print(f"jax.distributed.initialize skipped: {e}")
+    except ValueError as e:  # "coordinator_address should be defined":
+        # not a multi-host environment and none specified — single process
         print(f"jax.distributed.initialize skipped: {e}")
 
 

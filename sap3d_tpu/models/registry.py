@@ -73,6 +73,15 @@ MODEL_REGISTRY: dict[str, dict[str, Any]] = {
         norm_mode="gn",
         backbone_cbam=True,
     ),
+    # ---- debug/CI scale (NOT a reference variant): the flagship topology
+    # at ~1/1000 the parameters, for multi-process CPU tests and smoke runs
+    "p3d_micro": dict(
+        decoder="unetpp",
+        decoder_kwargs=dict(attention="none", head="ds"),
+        norm_mode="bn",
+        stages=((4, 1), (4, 1), (4, 1)),
+        stem_features=4,
+    ),
 }
 
 # The trainer CLI's --structure values (reference train.py:149-154).

@@ -6,9 +6,12 @@ self-attention sites (ops/attention.py) force an all-gather of keys/values
 on every device; this module instead keeps q/k/v sharded and rotates the
 k/v shards around the ring with `lax.ppermute`, combining per-hop partial
 attention with the online-softmax (running max / running sum) recurrence —
-the standard blockwise/ring-attention formulation.  Peak memory per device
-is one [nq_local, nk_local] score block and communication rides neighbor
-links only.
+the standard blockwise/ring-attention formulation.  Queries are processed
+in chunks under ``jax.checkpoint`` inside every hop, so peak memory per
+device is ONE [chunk_q, nk_local] score block (never the full
+[nq_local, nk_local] — at the flagship x_1_3 site that block would be
+~314MB fp32 per hop) and the backward rematerializes scores chunk by
+chunk; communication rides neighbor links only.
 
 Semantics: unscaled dot-product softmax attention, exactly
 `attend_tokens` (reference utils/network.py:184-186), up to float
@@ -30,43 +33,70 @@ from jax.sharding import Mesh, PartitionSpec as P
 from sap3d_tpu.core.mesh import TIME_AXIS
 
 
+# Rows of queries updated per inner step: bounds the live score block to
+# [RING_QUERY_CHUNK, nk_local] per device (~12MB fp32 at the flagship x_1_3
+# site's nk_loc=3136) regardless of nq_local.
+RING_QUERY_CHUNK = 1024
+
+
 def _ring_local(q: jax.Array, k: jax.Array, v: jax.Array, axis: str,
-                n: int) -> jax.Array:
+                n: int, chunk_q: int = RING_QUERY_CHUNK) -> jax.Array:
     """Per-shard ring attention body (call under shard_map).
 
     q [B, nq_loc, d], k [B, nk_loc, d], v [B, nk_loc, C] -> [B, nq_loc, C].
     ``n`` is the static ring size (mesh axis length).
+
+    Every hop updates the online-softmax state (running max m, running sum
+    l, running output o) for all query chunks via ``lax.map`` over chunks —
+    chunks are independent, so serializing them bounds peak memory to one
+    [chunk_q, nk_loc] score block; ``jax.checkpoint`` makes the backward
+    recompute scores per chunk instead of saving them (the flash-attention
+    remat policy, matching ops/attention.py:attend_tokens).
     """
-    b, nq, _ = q.shape
+    b, nq, d = q.shape
     c = v.shape[-1]
     perm = [(j, (j + 1) % n) for j in range(n)]
 
-    m = jnp.full((b, nq), -jnp.inf, jnp.float32)  # running row max
-    l = jnp.zeros((b, nq), jnp.float32)  # running sum of exp
-    o = jnp.zeros((b, nq, c), jnp.float32)  # running weighted values
+    cq = min(chunk_q, nq)
+    pad = (-nq) % cq
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    nqp = q.shape[1]
+    nc = nqp // cq
+    # chunk-major for lax.map: [nc, B, cq, ...]
+    qs = q.reshape(b, nc, cq, d).transpose(1, 0, 2, 3)
+    m = jnp.full((nc, b, cq), -jnp.inf, jnp.float32)  # running row max
+    l = jnp.zeros((nc, b, cq), jnp.float32)  # running sum of exp
+    o = jnp.zeros((nc, b, cq, c), jnp.float32)  # running weighted values
 
     for _hop in range(n):
-        s = jnp.einsum(
-            "bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32
-        )
-        m_new = jnp.maximum(m, s.max(axis=-1))
-        corr = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new[..., None])
-        l = l * corr + p.sum(axis=-1)
-        o = o * corr[..., None] + jnp.einsum(
-            "bqk,bkc->bqc", p.astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
-        )
-        m = m_new
+
+        def chunk_update(args, k=k, v=v):
+            qc, mc, lc, oc = args  # [B,cq,d], [B,cq], [B,cq], [B,cq,C]
+            s = jnp.einsum(
+                "bqc,bkc->bqk", qc, k, preferred_element_type=jnp.float32
+            )
+            m_new = jnp.maximum(mc, s.max(axis=-1))
+            corr = jnp.exp(mc - m_new)
+            p = jnp.exp(s - m_new[..., None])
+            lc = lc * corr + p.sum(axis=-1)
+            oc = oc * corr[..., None] + jnp.einsum(
+                "bqk,bkc->bqc", p.astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, lc, oc
+
+        m, l, o = jax.lax.map(jax.checkpoint(chunk_update), (qs, m, l, o))
         if _hop != n - 1:
             k = jax.lax.ppermute(k, axis, perm)
             v = jax.lax.ppermute(v, axis, perm)
-    return (o / l[..., None]).astype(v.dtype)
+    out = (o / l[..., None]).astype(v.dtype)  # [nc, B, cq, C]
+    return out.transpose(1, 0, 2, 3).reshape(b, nqp, c)[:, :nq]
 
 
 def ring_attend_sharded(
     mesh: Mesh, q: jax.Array, k: jax.Array, v: jax.Array,
-    axis: str = TIME_AXIS,
+    axis: str = TIME_AXIS, chunk_q: int = RING_QUERY_CHUNK,
 ) -> jax.Array:
     """Ring attention with q/k/v sharded on the token axis over ``axis``.
 
@@ -80,7 +110,7 @@ def ring_attend_sharded(
 
         return attend_tokens(q, k, v)
     fn = jax.shard_map(
-        lambda q_, k_, v_: _ring_local(q_, k_, v_, axis, n),
+        lambda q_, k_, v_: _ring_local(q_, k_, v_, axis, n, chunk_q),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
     )
     return fn(q, k, v)

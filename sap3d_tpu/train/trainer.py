@@ -91,15 +91,20 @@ class Trainer:
         self.train_step = make_train_step(self.model, mesh=self.mesh)
         self.eval_step = make_eval_step(self.model, mesh=self.mesh)
         self.ckpt = CheckpointManager(self.model_dir, cfg.train.max_to_keep)
+        # Multi-host: every process runs the identical compute (collectives
+        # need all participants, checkpoint saves are collective), but only
+        # process 0 writes logs/TB events/JPEG dumps — they all share one
+        # filesystem view of the run dir.
+        self.is_main_process = jax.process_index() == 0
         self._metrics_log = open(
             os.path.join(self.logs_dir, "metrics.jsonl"), "a"
-        )
+        ) if self.is_main_process else None
         # TensorBoard scalar events alongside metrics.jsonl (the reference's
         # tf.summary FileWriter surface, reference train.py:164,176-177);
         # dependency-free writer, see train/tb_events.py
         from sap3d_tpu.train.tb_events import EventWriter
 
-        self._tb = EventWriter(self.logs_dir)
+        self._tb = EventWriter(self.logs_dir) if self.is_main_process else None
 
         if cfg.train.pretrain:
             pre_dir = os.path.join(cfg.train.model_dir, cfg.train.pretrain)
@@ -109,6 +114,8 @@ class Trainer:
     # -- logging helpers ---------------------------------------------------
 
     def _log(self, record: dict) -> None:
+        if self._metrics_log is None:  # non-main process
+            return
         record["time"] = datetime.datetime.now().isoformat(timespec="seconds")
         self._metrics_log.write(json.dumps(record) + "\n")
         self._metrics_log.flush()
@@ -118,7 +125,7 @@ class Trainer:
 
     def _dump_images(self, step: int, pred_last: np.ndarray, gt_last: np.ndarray):
         """pred/GT last-frame JPEG pairs (reference train.py:227-239)."""
-        if cv2 is None:
+        if cv2 is None or not self.is_main_process:
             return
         d = os.path.join(self.logs_dir, "smap_Result")
         os.makedirs(d, exist_ok=True)
@@ -221,11 +228,12 @@ class Trainer:
             if (valid_batches_fn is not None and step >= cfg.valid_iter
                     and step % cfg.valid_iter < k):
                 self.validate(step, valid_batches_fn())
-                # 4-pane curve figure (GN trainer parity, reference
-                # gn/train_p3d_gn_dataset.py:294-310).
-                from sap3d_tpu.train.plotting import plot_curves
+                if self.is_main_process:
+                    # 4-pane curve figure (GN trainer parity, reference
+                    # gn/train_p3d_gn_dataset.py:294-310).
+                    from sap3d_tpu.train.plotting import plot_curves
 
-                plot_curves(self.logs_dir)
+                    plot_curves(self.logs_dir)
 
             if step >= cfg.save_iter and step % cfg.save_iter < k:
                 t_save = time.time()
@@ -272,5 +280,7 @@ class Trainer:
 
     def close(self):
         self.ckpt.close()
-        self._metrics_log.close()
-        self._tb.close()
+        if self._metrics_log is not None:
+            self._metrics_log.close()
+        if self._tb is not None:
+            self._tb.close()

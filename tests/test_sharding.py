@@ -118,3 +118,12 @@ def test_sharded_eval_step(batch):
     pred = ev(state, f)
     assert pred.shape == (8, 16, 16, 16)
     assert np.isfinite(np.asarray(pred)).all()
+    # data-parallel eval must match the single-device eval step exactly
+    # (the cmd_eval mesh path, cli.py): same params, replicated; only the
+    # batch is split, and inference BN uses running stats (no batch
+    # cross-talk), so per-clip outputs are device-placement-invariant.
+    ev1 = make_eval_step(model)
+    pred1 = ev1(state, jnp.asarray(frames))
+    np.testing.assert_allclose(
+        np.asarray(pred), np.asarray(pred1), atol=1e-5
+    )
