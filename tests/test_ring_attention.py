@@ -170,13 +170,16 @@ def test_ring_feasible_at_flagship_x13_scale():
     chunked = mem_of(1024)
     unchunked = mem_of(nq_loc)
     full_block = nq_loc * nk_loc * 4  # one fp32 score block per device
-    # the unchunked program really does pay the full-block price...
-    assert unchunked.temp_size_in_bytes > full_block, (
-        unchunked.temp_size_in_bytes, full_block)
-    # ...and chunking removes it: temp stays under half a block (the live
-    # set is one [1024, nk_loc] chunk + online-softmax state + remat slack)
-    assert chunked.temp_size_in_bytes < full_block // 2, (
-        chunked.temp_size_in_bytes, full_block)
+    # temp_size_in_bytes sums buffers across all 8 virtual devices
+    per_dev_chunked = chunked.temp_size_in_bytes / 8
+    per_dev_unchunked = unchunked.temp_size_in_bytes / 8
+    # the unchunked program really does pay the full-block price per device
+    # (measured ~2.3GB fwd-only total = 8 x the 314MB block)...
+    assert per_dev_unchunked > full_block, (per_dev_unchunked, full_block)
+    # ...and chunking removes it: the per-device live set is one
+    # [1024, nk_loc] score chunk + online-softmax carries + remat slack
+    # (measured ~40MB vs the 314MB block)
+    assert per_dev_chunked < full_block // 4, (per_dev_chunked, full_block)
     assert chunked.temp_size_in_bytes < unchunked.temp_size_in_bytes // 4
 
 
