@@ -123,6 +123,20 @@ class Trainer:
             self._tb.scalars(record, record["step"])
             self._tb.flush()
 
+    @staticmethod
+    def _local_block(arr) -> np.ndarray:
+        """Materialize the process-local rows of a (possibly multi-host
+        batch-sharded) array, in local batch order.  On a multi-host mesh a
+        global array spans non-addressable devices and np.asarray raises;
+        the local shards are exactly this host's loader rows."""
+        if arr.is_fully_addressable:
+            return np.asarray(arr)
+        shards = sorted(
+            arr.addressable_shards,
+            key=lambda s: (s.index[0].start or 0) if s.index else 0,
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
     def _dump_images(self, step: int, pred_last: np.ndarray, gt_last: np.ndarray):
         """pred/GT last-frame JPEG pairs (reference train.py:227-239)."""
         if cv2 is None or not self.is_main_process:
@@ -213,10 +227,10 @@ class Trainer:
             n_last += n_clips
 
             if step < 10 + k or step % self.cfg.train.plot_iter < k:
-                loss_v = float(loss)
+                loss_v = float(loss)  # replicated -> addressable on any host
                 dt = time.time() - t_last
                 cps = n_last / dt if dt > 0 else 0.0
-                pred = np.asarray(self.eval_step(self.state, f))
+                pred = self._local_block(self.eval_step(self.state, f))
                 self._dump_images(step, pred[0, -1], np.asarray(targets)[0, -1])
                 print(
                     f"[{datetime.datetime.now().isoformat(timespec='seconds')}] "
@@ -255,8 +269,12 @@ class Trainer:
         ccs, sims, klds, aucs = [], [], [], []
         for frames, targets in valid_batches:
             f = mesh_lib.shard_batch(self.mesh, jnp.asarray(frames))
-            pred = self.eval_step(self.state, f)
-            pred_last = pred[:, -1]  # [B, H, W]
+            # local rows only: on a multi-host mesh the global pred spans
+            # non-addressable devices; each host scores its own loader rows
+            # and the lists are all-gathered below
+            pred_last = jnp.asarray(
+                self._local_block(self.eval_step(self.state, f))[:, -1]
+            )  # [B_local, H, W]
             gt_last = jnp.asarray(targets)[:, -1]
             ccs += list(np.asarray(metrics_jax.cc(pred_last, gt_last)))
             sims += list(np.asarray(metrics_jax.sim(pred_last, gt_last)))
@@ -264,6 +282,17 @@ class Trainer:
             pl, gl = np.asarray(pred_last), np.asarray(targets)[:, -1]
             for i in range(pl.shape[0]):
                 aucs.append(host_metrics.AUC_Judd(pl[i], gl[i]))
+        if jax.process_count() > 1:
+            # every host scored a disjoint clip subset of equal size; gather
+            # so the reported means cover the full validation set
+            from jax.experimental import multihost_utils
+
+            ccs, sims, klds, aucs = (
+                list(np.asarray(
+                    multihost_utils.process_allgather(np.asarray(v))
+                ).ravel())
+                for v in (ccs, sims, klds, aucs)
+            )
         result = {
             "step": step,
             "cc": host_metrics.nan_filtered_mean(ccs),
