@@ -1,0 +1,107 @@
+"""Time the flagship decoder's heavy convs on the real chip, with achieved
+TFLOP/s vs the v5e bf16 peak (197 T).
+
+Round-3 finding: the full encoder fwd+bwd measures 8.7 ms (profile_encoder.py)
+— already at its roofline; the round-2 'encoder 16.8 ms' decomposition was
+misattributed.  The step's FLOPs (10.65 T by XLA cost analysis) are dominated
+by the x_1_* 3^3 convs at [B,8,56,56] and the x_2_* convs at [B,4,28,28].
+This script measures each site's fwd and fwd+bwd time in isolation.
+"""
+
+import os
+import sys
+import time
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+import jax.numpy as jnp
+import numpy as np
+
+PEAK = 197e12
+
+
+def chained(step, x0, extra=(), n_small=4, n_large=14):
+    def run(n):
+        x = x0
+        s = None
+        for _ in range(n):
+            out = step(*extra, x)
+            s = out if isinstance(out, jax.Array) else jax.tree.leaves(out)[0]
+            x = x0 + jnp.sum(s.astype(jnp.float32)).astype(x0.dtype) * 0
+        return float(jnp.sum(s.astype(jnp.float32)).block_until_ready())
+
+    run(2)
+    t0 = time.perf_counter(); run(n_small); ts = time.perf_counter() - t0
+    t0 = time.perf_counter(); run(n_large); tl = time.perf_counter() - t0
+    return (tl - ts) / (n_large - n_small) * 1e3
+
+
+def conv_site(name, in_shape, cout, kernel, strides=(1, 1, 1), batch=16,
+              transpose=False):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch,) + in_shape), jnp.bfloat16)
+    cin = in_shape[-1]
+    w = jnp.asarray(rng.normal(size=kernel + (cin, cout)) * 0.02, jnp.bfloat16)
+
+    if transpose:
+        @jax.jit
+        def f(w, x):
+            return jax.lax.conv_transpose(
+                x, w, strides, "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32).astype(x.dtype)
+        out_sp = tuple(s * st for s, st in zip(in_shape[:-1], strides))
+    else:
+        @jax.jit
+        def f(w, x):
+            return jax.lax.conv_general_dilated(
+                x, w, strides, "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32).astype(x.dtype)
+        out_sp = tuple(-(-s // st) for s, st in zip(in_shape[:-1], strides))
+
+    taps = int(np.prod(kernel))
+    out_pos = batch * int(np.prod(out_sp))
+    flops_f = 2 * out_pos * taps * cin * cout
+    if transpose:
+        flops_f //= int(np.prod(strides))
+        flops_f *= int(np.prod(strides))  # same total MACs as fwd conv pair
+    ms_f = chained(f, x, extra=(w,))
+
+    @jax.jit
+    def fb(w, x):
+        def loss(w, x):
+            return jnp.sum(f(w, x).astype(jnp.float32))
+        gw, gx = jax.grad(loss, argnums=(0, 1))(w, x)
+        return gx
+
+    ms_fb = chained(fb, x, extra=(w,))
+    eff_f = flops_f / (ms_f * 1e-3) / PEAK
+    eff_fb = 3 * flops_f / (ms_fb * 1e-3) / PEAK
+    print(f"{name:34s} fwd {ms_f:7.2f} ms ({eff_f * 100:4.0f}%)   "
+          f"f+b {ms_fb:7.2f} ms ({eff_fb * 100:4.0f}%)", flush=True)
+
+
+def main():
+    b = 16
+    conv_site("x_1_3 conv 3^3 256->128 @8x56x56", (8, 56, 56, 256), 128,
+              (3, 3, 3), batch=b)
+    conv_site("x_1_1 conv 3^3 192->128 @8x56x56", (8, 56, 56, 192), 128,
+              (3, 3, 3), batch=b)
+    conv_site("x_2_2 conv 3^3 512->256 @4x28x28", (4, 28, 28, 512), 256,
+              (3, 3, 3), batch=b)
+    conv_site("x_3_1 conv (2,3,3) 1024->512 @2x14", (2, 14, 14, 1024), 512,
+              (2, 3, 3), batch=b)
+    conv_site("up_2_2 tconv 3^3 s2 256->128", (4, 28, 28, 256), 128,
+              (3, 3, 3), strides=(2, 2, 2), batch=b, transpose=True)
+    conv_site("x_0_1 tconv 3^3 s2 128->1", (8, 56, 56, 128), 1,
+              (3, 3, 3), strides=(2, 2, 2), batch=b, transpose=True)
+    conv_site("stem conv (1,7,7) s(1,2,2) 3->64", (16, 112, 112, 3), 64,
+              (1, 7, 7), strides=(1, 2, 2), batch=b)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,8 +1,17 @@
-"""Ablation timing of the flagship train step on the real chip.
+"""Decompose the flagship train step by ABLATION on the real chip.
 
-Times the fused K-step train program under several single-variable ablations
-to decompose the step: attention on/off, Pallas on/off, dropout on/off,
-K, batch.  Uses bench.py's chained N-differencing methodology.
+Isolated per-site timings (profile_decoder.py) miss fusion interactions;
+this script times the FULL jitted train step under ablations instead:
+
+  full           — production step (fwd+bwd+Adam+BN), batch 16
+  no_sa          — attention='none' (removes the 4 SA sites fwd+bwd)
+  no_dropout     — dropout_rate=0
+  fwd_only       — model.apply only (train=True shapes, no grad)
+  no_optimizer   — value_and_grad but no Adam/BN update
+  fp32_loss      — (control) nothing ablated, k=1 vs k=4 scan overhead
+
+Differences between ablations bound each component's true in-context cost.
+Chained N-differencing methodology (bench.py docstring).
 """
 
 import os
@@ -11,90 +20,125 @@ import time
 
 import jax
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 from sap3d_tpu.models.p3d import P3DSaliency
-from sap3d_tpu.models.registry import MODEL_REGISTRY
+from sap3d_tpu.models.registry import build_model
 from sap3d_tpu.train.state import create_train_state
-from sap3d_tpu.train.steps import make_multi_train_step
+from sap3d_tpu.train.steps import fast_dropout_key, loss_fn_saliency
+
+BATCH = 16
+SHAPE = (BATCH, 16, 112, 112, 3)
 
 
-def time_case(name, batch=16, k=4, attention="sa", dropout=0.5,
-              donate=False, unroll=1, compiler_options=None):
-    cfg = dict(MODEL_REGISTRY["p3d_unetplusplus_ds"])
-    cfg["decoder_kwargs"] = dict(cfg["decoder_kwargs"], attention=attention)
-    model = P3DSaliency(**cfg, dropout_rate=dropout, dtype=jnp.bfloat16)
-    shape = (batch, 16, 112, 112, 3)
+def data():
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(
-        np.tile(rng.normal(size=(1, k) + shape).astype(np.float32) * 0.3,
-                (1, 1, 1, 1, 1, 1))[0]
+    frames = jnp.asarray(rng.normal(size=SHAPE).astype(np.float32) * 0.3)
+    targets = jnp.asarray(
+        rng.uniform(size=(BATCH, 16, 112, 112)).astype(np.float32)
     )
-    targets = jnp.asarray(rng.random((k,) + shape[:-1]).astype(np.float32))
+    return frames, targets
 
-    def fresh_state():
-        return create_train_state(
-            model, jax.random.PRNGKey(0), input_shape=shape
-        )
 
-    step = make_multi_train_step(model, k, donate=donate, unroll=unroll,
-                                 compiler_options=compiler_options)
+def chained_state(step, state0, frames, targets, n_small=3, n_large=10):
     key = jax.random.PRNGKey(1)
 
-    def run(n, s):
-        losses = None
-        for i in range(n):
-            s, losses = step(s, frames, targets, jax.random.fold_in(key, i))
-        return float(losses[-1])
+    def run(n):
+        state = state0
+        out = None
+        for _ in range(n):
+            state, out = step(state, frames, targets, key)
+        return float(jnp.sum(out.astype(jnp.float32)).block_until_ready())
 
-    # with donation each run consumes its state, so create them up front
-    states = [fresh_state() for _ in range(3)] if donate \
-        else [fresh_state()] * 3
-    run(2, states[0])
-    t0 = time.perf_counter()
-    run(3, states[1])
-    t_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    run(13, states[2])
-    t_l = time.perf_counter() - t0
-    sec = (t_l - t_s) / 10
-    ms_per_step = sec / k * 1e3
-    print(f"{name:28s} {ms_per_step:7.1f} ms/step  "
-          f"{k * batch / sec:6.1f} clips/s", flush=True)
-    return ms_per_step
+    run(2)
+    t0 = time.perf_counter(); run(n_small); ts = time.perf_counter() - t0
+    t0 = time.perf_counter(); run(n_large); tl = time.perf_counter() - t0
+    return (tl - ts) / (n_large - n_small) * 1e3
+
+
+def make_step(model, optimizer=True):
+    def step(state, frames, targets, rng):
+        drop_rng = fast_dropout_key(rng)
+
+        def loss_of(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                frames, train=True, rngs={"dropout": drop_rng},
+                mutable=["batch_stats"],
+            )
+            return loss_fn_saliency(out, targets), dict(
+                mutated.get("batch_stats", {}))
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(state.params)
+        if optimizer:
+            state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+            return state, loss
+        # consume grads without the Adam/BN update
+        g0 = sum(jnp.sum(g.astype(jnp.float32)) for g in jax.tree.leaves(grads))
+        return state, loss + g0 * 0
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def timed(name, model, optimizer=True):
+    frames, targets = data()
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               input_shape=SHAPE[1:])
+    ms = chained_state(make_step(model, optimizer), state, frames, targets)
+    print(f"{name:22s} {ms:8.2f} ms/step   {BATCH / ms * 1e3:6.1f} clips/s",
+          flush=True)
+    return ms
+
+
+def fwd_only(model):
+    frames, _ = data()
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               input_shape=SHAPE[1:])
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    key = fast_dropout_key(jax.random.PRNGKey(1))
+
+    @jax.jit
+    def f(v, frames):
+        out, _ = model.apply(v, frames, train=True, rngs={"dropout": key},
+                             mutable=["batch_stats"])
+        return out
+
+    def run(n):
+        x = frames
+        out = None
+        for _ in range(n):
+            out = f(variables, x)
+            x = frames + jnp.sum(out.astype(jnp.float32)).astype(x.dtype) * 0
+        return float(jnp.sum(out.astype(jnp.float32)).block_until_ready())
+
+    run(2)
+    t0 = time.perf_counter(); run(3); ts = time.perf_counter() - t0
+    t0 = time.perf_counter(); run(10); tl = time.perf_counter() - t0
+    ms = (tl - ts) / 7 * 1e3
+    print(f"{'fwd_only (train mode)':22s} {ms:8.2f} ms/step", flush=True)
 
 
 def main():
-    which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    if which in ("all", "base"):
-        time_case("base (b16 k4 sa drop)")
-    if which in ("all", "donate"):
-        time_case("donate=True (production)", donate=True)
-    if which in ("all", "unroll"):
-        time_case("unroll=2", unroll=2)
-        time_case("unroll=2 donate", unroll=2, donate=True)
-    if which == "flags":
-        for kib in (32768, 65536):
-            time_case(
-                f"scoped-vmem {kib}kib",
-                compiler_options={"xla_tpu_scoped_vmem_limit_kib": str(kib)},
-            )
-    if which in ("all", "nodrop"):
-        time_case("dropout off", dropout=0.0)
-    if which in ("all", "nosa"):
-        time_case("attention none", attention="none")
-    if which in ("all", "noPallas"):
-        os.environ["SAP3D_DISABLE_PALLAS"] = "1"
-        time_case("pallas off")
-        del os.environ["SAP3D_DISABLE_PALLAS"]
-    if which in ("all", "k8"):
-        time_case("k=8", k=8)
-    if which in ("all", "b24"):
-        time_case("batch 24", batch=24)
+    which = sys.argv[1:] or ["full", "no_sa", "no_dropout", "no_opt", "fwd"]
+    if "full" in which:
+        timed("full", build_model("p3d_unetplusplus_ds", dtype="bfloat16"))
+    if "no_sa" in which:
+        timed("no_sa", build_model("p3d_unetplusplus_nonsa", dtype="bfloat16"))
+    if "no_dropout" in which:
+        timed("no_dropout", P3DSaliency(
+            decoder="unetpp", decoder_kwargs=dict(attention="sa", head="ds"),
+            dropout_rate=0.0, dtype=jnp.bfloat16))
+    if "no_opt" in which:
+        timed("no_optimizer",
+              build_model("p3d_unetplusplus_ds", dtype="bfloat16"),
+              optimizer=False)
+    if "fwd" in which:
+        fwd_only(build_model("p3d_unetplusplus_ds", dtype="bfloat16"))
 
 
 if __name__ == "__main__":
