@@ -366,6 +366,9 @@ def cmd_predict(argv) -> int:
     p.add_argument("--batch-windows", type=int, default=16,
                    help="windows per device step (16 = measured v5e saturation"
                         " knee, BASELINE.md)")
+    p.add_argument("--imagesize", type=int, default=112,
+                   help="network input resolution (the reference gen_pred.py "
+                        "hardcodes 112, gen_pred.py:119)")
     args = p.parse_args(argv)
     if (args.checkpoint is None) == (args.tf_checkpoint is None):
         p.error("exactly one of --checkpoint / --tf-checkpoint is required")
@@ -380,7 +383,7 @@ def cmd_predict(argv) -> int:
     from sap3d_tpu.train.state import create_train_state
     from sap3d_tpu.train.steps import make_eval_step
 
-    input_shape = (args.batch_windows, 16, 112, 112, 3)
+    input_shape = (args.batch_windows, 16, args.imagesize, args.imagesize, 3)
     if args.tf_checkpoint:
         model, state = _state_from_tf_checkpoint(
             resolve_name(args.structure), args.tf_checkpoint, args.dtype,
@@ -399,7 +402,8 @@ def cmd_predict(argv) -> int:
             return 1
     ev = make_eval_step(model)
     pred = SlidingWindowPredictor(
-        lambda clips: ev(state, clips), batch_windows=args.batch_windows
+        lambda clips: ev(state, clips), batch_windows=args.batch_windows,
+        image_size=args.imagesize,
     )
     n = pred.export_dataset(args.data, args.out)
     print(f"exported {n} videos")
@@ -438,6 +442,10 @@ def cmd_eval_dirs(argv) -> int:
                    help="videos scored concurrently (default: min(8, cpus); "
                         "replaces the reference's MATLAB parpool(5), "
                         "metric_video_base.m:1-20)")
+    p.add_argument("--device", type=parse_bool, default=False,
+                   help="score on the accelerator: one jitted batch "
+                        "reduction per frame chunk instead of per-frame "
+                        "NumPy loops (auc_shuffled stays host-only)")
     args = p.parse_args(argv)
     if args.dsname:
         from sap3d_tpu.core.config import EVAL_DATASETS
@@ -458,7 +466,7 @@ def cmd_eval_dirs(argv) -> int:
 
     results = evaluate_saliency_dirs(
         args.pred, args.density, args.fixation, tuple(args.metrics),
-        workers=args.workers,
+        workers=args.workers, device=args.device,
     )
     for video, scores in results.items():
         line = "  ".join(f"{k}: {v:.4f}" for k, v in scores.items())

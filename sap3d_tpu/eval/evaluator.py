@@ -163,6 +163,80 @@ def _score_video(
     return {m: M.nan_filtered_mean(v) for m, v in scores.items() if v}
 
 
+def _score_video_device(
+    pairs: list[tuple[str, str, str | None]],
+    metrics: tuple[str, ...],
+    rng: np.random.Generator,
+    batch: int = 32,
+) -> dict[str, float]:
+    """One video's scores with the metric math on the accelerator.
+
+    Decoding and resize stay host-side; frames are stacked into [batch,H,W]
+    chunks and each requested metric runs as ONE jitted reduction per chunk
+    (eval/metrics_jax.py), replacing the per-frame NumPy loops.  AUC-Judd
+    jitter and the Borji sampler use a JAX PRNG derived from ``rng``, so
+    scores match the host path in distribution (both are Monte-Carlo);
+    cc/sim/kldiv are deterministic and match the host bitwise-close.
+    ``auc_shuffled`` is host-only (its negative pool spans other videos).
+    """
+    import jax
+
+    from sap3d_tpu.eval import metrics_jax as MJ
+
+    key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
+    scores: dict[str, list] = {m: [] for m in metrics}
+    want_fix = {"nss", "auc_judd", "auc_borji"} & set(metrics)
+
+    def resize_stack(preds, tgts, interpolation):
+        # host-parity interpolation per metric (metrics.py:_resize_to:
+        # reference order=3 cubic for CC/SIM/KL/AUC, order=1 linear for NSS)
+        return np.stack([
+            cv2.resize(p, (t.shape[1], t.shape[0]),
+                       interpolation=interpolation)
+            if p.shape != t.shape else p
+            for p, t in zip(preds, tgts)
+        ]).astype(np.float32)
+
+    for i in range(0, len(pairs), batch):
+        chunk = pairs[i:i + batch]
+        preds = [_read_gray(pf) for pf, _, _ in chunk]
+        gts = [_read_gray(gp) for _, gp, _ in chunk]
+        if {"cc", "sim", "kldiv"} & set(metrics):
+            pred_at_gt = resize_stack(preds, gts, cv2.INTER_CUBIC)
+            gt_arr = np.stack(gts).astype(np.float32)
+            if "cc" in metrics:
+                scores["cc"] += list(np.asarray(MJ.cc(pred_at_gt, gt_arr)))
+            if "sim" in metrics:
+                scores["sim"] += list(np.asarray(MJ.sim(pred_at_gt, gt_arr)))
+            if "kldiv" in metrics:
+                scores["kldiv"] += list(np.asarray(MJ.kldiv(
+                    np.clip(pred_at_gt, 0.0, None), gt_arr)))
+        if want_fix:
+            # fixation maps are native-resolution; pred resized to match.
+            # auc_judd falls back to the density map when no fixation exists
+            # (host parity, _score_video).
+            fixes = [
+                _read_gray(fp) if fp else None for _, _, fp in chunk
+            ]
+            tgts = [f if f is not None else g for f, g in zip(fixes, gts)]
+            tgt_arr = np.stack(tgts).astype(np.float32)
+            has_fix = np.array([f is not None for f in fixes])
+            key, k1, k2 = jax.random.split(key, 3)
+            if {"auc_judd", "auc_borji"} & set(metrics):
+                pred_cubic = resize_stack(preds, tgts, cv2.INTER_CUBIC)
+                if "auc_judd" in metrics:
+                    scores["auc_judd"] += list(
+                        np.asarray(MJ.auc_judd(pred_cubic, tgt_arr, k1)))
+                if "auc_borji" in metrics:
+                    v = np.asarray(MJ.auc_borji(pred_cubic, tgt_arr, k2))
+                    scores["auc_borji"] += list(np.where(has_fix, v, np.nan))
+            if "nss" in metrics:
+                pred_lin = resize_stack(preds, tgts, cv2.INTER_LINEAR)
+                v = np.asarray(MJ.nss(pred_lin, tgt_arr))
+                scores["nss"] += list(np.where(has_fix, v, np.nan))
+    return {m: M.nan_filtered_mean(v) for m, v in scores.items() if v}
+
+
 def evaluate_saliency_dirs(
     pred_root: str,
     density_root: str,
@@ -170,6 +244,7 @@ def evaluate_saliency_dirs(
     metrics: tuple[str, ...] = ("cc", "sim", "auc_judd"),
     rng: np.random.Generator | None = None,
     workers: int | None = None,
+    device: bool = False,
 ) -> dict[str, dict[str, float]]:
     """Score exported saliency maps against ground truth, per video.
 
@@ -183,7 +258,17 @@ def evaluate_saliency_dirs(
     ``fixation_root``.  Returns {video: {metric: mean score}}; deterministic
     for a fixed rng seed regardless of worker count (per-video child seeds
     are drawn up-front in sorted-name order).
+
+    ``device=True`` runs the metric math batched on the accelerator
+    (``_score_video_device``): frames are scored in one jitted reduction per
+    chunk instead of per-frame NumPy loops.  Videos are then processed
+    serially (one device, no thread pool); ``auc_shuffled`` stays host-only.
     """
+    if device and "auc_shuffled" in metrics:
+        raise ValueError(
+            "auc_shuffled is host-only (cross-video negative pool); drop it "
+            "from metrics or use device=False"
+        )
     rng = rng or np.random.default_rng(0)
     vdirs = [
         d for d in sorted(glob.glob(os.path.join(pred_root, "*")))
@@ -216,6 +301,11 @@ def evaluate_saliency_dirs(
     # deterministic per-video streams regardless of completion order
     child_rngs = [np.random.default_rng(s) for s in rng.spawn(len(vdirs))] \
         if vdirs else []
+    if device:
+        return {
+            v: _score_video_device(pairs, metrics, crng)
+            for v, pairs, crng in zip(vnames, all_pairs, child_rngs)
+        }
     if workers is None:
         workers = min(8, os.cpu_count() or 1)
     from concurrent.futures import ThreadPoolExecutor

@@ -11,8 +11,8 @@ gn/train_p3d_gn_dataset.py), TPU-native:
   scalar logging, validation metric pass (CC/SIM/AUC-Judd on the last frame
   of each clip, NaN-filtered means, reference train.py:243-264) and
   keep-last-K checkpointing are preserved;
-* validation CC/SIM run vectorized on device (eval/metrics_jax.py); AUC-Judd
-  stays on host.
+* the whole validation metric pass (CC/SIM/KLD/AUC-Judd) runs vectorized on
+  device (eval/metrics_jax.py), including the AUC threshold sweep.
 """
 
 from __future__ import annotations
@@ -264,10 +264,14 @@ class Trainer:
         print("Training Finished!")
 
     def validate(self, step: int, valid_batches: Iterable) -> dict:
-        """CC/SIM on device + AUC-Judd on host, last frame per clip,
-        NaN-filtered means (reference train.py:243-264)."""
+        """CC/SIM/KLD/AUC-Judd fully on device, last frame per clip,
+        NaN-filtered means (reference train.py:243-264).  AUC-Judd runs the
+        batched static-shape sweep (eval/metrics_jax.py:auc_judd) instead of
+        the reference's per-frame host loop; jitter uses a per-batch JAX key
+        (same role as the host rng)."""
         ccs, sims, klds, aucs = [], [], [], []
-        for frames, targets in valid_batches:
+        jitter_key = jax.random.PRNGKey(step)
+        for bi, (frames, targets) in enumerate(valid_batches):
             f = mesh_lib.shard_batch(self.mesh, jnp.asarray(frames))
             # local rows only: on a multi-host mesh the global pred spans
             # non-addressable devices; each host scores its own loader rows
@@ -279,9 +283,9 @@ class Trainer:
             ccs += list(np.asarray(metrics_jax.cc(pred_last, gt_last)))
             sims += list(np.asarray(metrics_jax.sim(pred_last, gt_last)))
             klds += list(np.asarray(metrics_jax.kldiv(pred_last, gt_last)))
-            pl, gl = np.asarray(pred_last), np.asarray(targets)[:, -1]
-            for i in range(pl.shape[0]):
-                aucs.append(host_metrics.AUC_Judd(pl[i], gl[i]))
+            aucs += list(np.asarray(metrics_jax.auc_judd(
+                pred_last, gt_last, jax.random.fold_in(jitter_key, bi)
+            )))
         if jax.process_count() > 1:
             # every host scored a disjoint clip subset of equal size; gather
             # so the reported means cover the full validation set

@@ -12,6 +12,8 @@ Usage: python scripts/bench_eval.py [--videos 6] [--frames 50] [--size 480 640]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import tempfile
 import time
 from pathlib import Path
@@ -19,6 +21,15 @@ from pathlib import Path
 import numpy as np
 
 import cv2
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # The axon sitecustomize re-registers the TPU backend; the env var alone
+    # does not force CPU (see .claude/skills/verify/SKILL.md).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 from sap3d_tpu.eval.evaluator import evaluate_saliency_dirs
 
@@ -61,15 +72,19 @@ def main():
         root = Path(td)
         make_tree(root, args.videos, args.frames, tuple(args.size))
         n_total = args.videos * args.frames
-        for workers in (1, None):
+        for label, kw in (
+            ("workers=1", dict(workers=1)),
+            ("workers=auto", dict(workers=None)),
+            ("device (warmup)", dict(device=True)),
+            ("device", dict(device=True)),
+        ):
             t0 = time.perf_counter()
             res = evaluate_saliency_dirs(
                 str(root / "pred"), str(root / "density"),
                 str(root / "fixation"), tuple(args.metrics),
-                rng=np.random.default_rng(0), workers=workers,
+                rng=np.random.default_rng(0), **kw,
             )
             dt = time.perf_counter() - t0
-            label = f"workers={workers or 'auto'}"
             print(f"{label}: {n_total} frames in {dt:.2f}s = "
                   f"{n_total / dt:.1f} frames/s  "
                   f"(mean cc {np.nanmean([r['cc'] for r in res.values()]):.3f})")

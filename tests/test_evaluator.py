@@ -140,3 +140,34 @@ def test_auc_shuffled_discriminates_on_dirs(tmp_path):
         fixation_root=str(tmp_path / "fixation"),
         metrics=("auc_shuffled",), rng=np.random.default_rng(0))
     assert r["video1"]["auc_shuffled"] > r["video0"]["auc_shuffled"]
+
+
+def test_evaluate_saliency_dirs_device_matches_host(tmp_path):
+    """The accelerator scoring path produces the same deterministic metrics
+    (cc/sim/kldiv) as the host path bitwise-close, and the Monte-Carlo AUCs
+    within sampling tolerance; auc_shuffled is rejected."""
+    import pytest
+
+    from sap3d_tpu.eval.evaluator import evaluate_saliency_dirs
+
+    _make_score_tree(tmp_path)
+    args = (str(tmp_path / "pred"), str(tmp_path / "density"))
+    kw = dict(fixation_root=str(tmp_path / "fixation"),
+              metrics=("cc", "sim", "kldiv", "nss", "auc_judd", "auc_borji"))
+    host = evaluate_saliency_dirs(*args, rng=np.random.default_rng(7), **kw)
+    dev = evaluate_saliency_dirs(
+        *args, rng=np.random.default_rng(7), device=True, **kw)
+    assert set(dev) == set(host)
+    for v in host:
+        assert set(dev[v]) == set(host[v])
+        for m in ("cc", "sim", "kldiv", "nss"):
+            assert dev[v][m] == pytest.approx(host[v][m], abs=2e-3)
+        # AUCs: different PRNG streams; jitter/negative sampling noise only
+        assert dev[v]["auc_judd"] == pytest.approx(host[v]["auc_judd"],
+                                                   abs=0.02)
+        assert dev[v]["auc_borji"] == pytest.approx(host[v]["auc_borji"],
+                                                    abs=0.06)
+
+    with pytest.raises(ValueError):
+        evaluate_saliency_dirs(*args, device=True,
+                               metrics=("cc", "auc_shuffled"))

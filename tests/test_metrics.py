@@ -2,6 +2,7 @@
 of the reference formulas (reference utils/metrics.py), and the JAX on-device
 versions vs the host versions."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -273,3 +274,50 @@ def test_jax_nss_empty_fixations_nan():
     assert np.asarray(MJ.nan_filtered_mean(jnp.array([1.0, jnp.nan, 3.0]))) == (
         pytest.approx(2.0)
     )
+
+
+def test_jax_auc_judd_matches_host():
+    """Device AUC-Judd equals the host curve exactly (jitter off, continuous
+    maps so no ties)."""
+    rng = np.random.default_rng(21)
+    pred = rng.random((3, 20, 26))
+    fix = (rng.random((3, 20, 26)) < 0.04).astype(np.float32)
+    fix[:, 3, 5] = 1.0
+    got = np.asarray(MJ.auc_judd(jnp.asarray(pred), jnp.asarray(fix)))
+    for i in range(3):
+        want = M.AUC_Judd(pred[i], fix[i], jitter=False)
+        assert got[i] == pytest.approx(want, abs=1e-5)
+
+
+def test_jax_auc_judd_empty_and_cap():
+    pred = jnp.asarray(np.random.default_rng(0).random((2, 8, 8)))
+    fix = np.zeros((2, 8, 8), np.float32)
+    fix[1] = 1.0  # 64 fixations > cap 4 -> NaN
+    got = np.asarray(MJ.auc_judd(pred, jnp.asarray(fix), fix_cap=4))
+    assert np.isnan(got).all()
+
+
+def test_jax_auc_borji_matches_host_distribution():
+    """Monte-Carlo samplers differ (jax vs numpy PRNG); means must agree
+    within sampling noise, and degenerate cases must be NaN like the host."""
+    rng = np.random.default_rng(22)
+    base = rng.random((1, 24, 24))
+    # saliency correlated with fixations => AUC well above 0.5
+    fix = (base > 0.9).astype(np.float32)
+    pred = base + rng.random((1, 24, 24)) * 0.1
+    got = np.asarray(
+        MJ.auc_borji(jnp.asarray(pred), jnp.asarray(fix),
+                     jax.random.PRNGKey(0), n_rep=400)
+    )[0]
+    want = M.AUC_Borji(pred[0], fix[0], n_rep=400,
+                       rng=np.random.default_rng(5))
+    assert got == pytest.approx(want, abs=0.02)
+
+    const = jnp.ones((1, 24, 24))
+    assert np.isnan(np.asarray(
+        MJ.auc_borji(const, jnp.asarray(fix), jax.random.PRNGKey(0))
+    ))[0]
+    nofix = jnp.zeros((1, 24, 24))
+    assert np.isnan(np.asarray(
+        MJ.auc_borji(jnp.asarray(pred), nofix, jax.random.PRNGKey(0))
+    ))[0]
