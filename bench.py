@@ -77,8 +77,12 @@ def _compiled_flops(jitted, *args) -> float | None:
 def bench_train(batch: int, steps_per_call: int = 4):
     """(clips/sec, MFU) for the flagship train step (fwd+bwd+Adam+BN updates).
 
-    Uses the fused multi-step (lax.scan) path, the production configuration —
-    it amortizes per-dispatch host latency (+45% on the tunneled v5e).
+    Uses the fused multi-step (lax.scan) path WITH state donation — the
+    production configuration (train/trainer.py runs donate=True, and the
+    K-step scan amortizes per-dispatch host latency, +45% on the tunneled
+    v5e).  Donation consumes each run's input state, so every timing run
+    starts from a fresh device copy of the initial state (a constant per-run
+    cost that the N-differencing cancels).
     MFU = XLA cost-analysis FLOPs of the compiled SINGLE-step program times K,
     divided by measured wall time and the chip's nominal bf16 peak.  (The
     K-step program's own cost analysis counts the lax.scan body once, not K
@@ -93,11 +97,12 @@ def bench_train(batch: int, steps_per_call: int = 4):
     state0 = create_train_state(
         model, jax.random.PRNGKey(0), input_shape=shape[1:]
     )
-    step = make_multi_train_step(model, k, donate=False)
+    step = make_multi_train_step(model, k, donate=True)
     key = jax.random.PRNGKey(1)
+    copy_state = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
 
     def run(n):
-        state = state0
+        state = copy_state(state0)  # donation-safe fresh buffers
         losses = None
         for _ in range(n):
             state, losses = step(state, frames, targets, key)

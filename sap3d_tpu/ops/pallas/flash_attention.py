@@ -41,7 +41,9 @@ VMEM_BUDGET_BWD_BYTES = 12 * 1024 * 1024
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
     # q_ref [1, BQ, d], k_ref [1, Nk, d], v_ref [1, Nk, C], o_ref [1, BQ, C],
     # lse_ref [1, BQ] — the log-sum-exp per query row, saved for the
-    # backward's one-exp softmax reconstruction.
+    # backward's one-exp softmax reconstruction.  ``lse_ref`` is None on the
+    # inference path (custom_vjp primal), which skips the log and the extra
+    # output stream entirely.
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -56,10 +58,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
     p = e / l
     o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
     o_ref[0] = o.astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(l)  # [BQ, 1]
+    if lse_ref is not None:
+        # lse is stored 2-D [b, nq] (block [1, BQ]): a trailing size-1 dim
+        # would be lane-padded to 128 by the TPU tiled layout, making the
+        # saved-residual HBM traffic 128x larger (~200MB/step at the x_1_3
+        # site).  The [BQ, 1] -> [BQ] relayout here is a single in-VMEM op.
+        lse_ref[0] = jnp.squeeze(m + jnp.log(l), -1)  # [BQ]
 
 
-def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array):
+def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array,
+                   want_lse: bool = True):
     b, nq, d = q.shape
     _, nk, c = v.shape
     pad = (-nq) % BLOCK_Q
@@ -68,12 +76,21 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array):
     nq_p = q.shape[1]
     grid = (b, nq_p // BLOCK_Q)
 
-    out, lse = pl.pallas_call(
-        _fwd_kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((b, nq_p, c), v.dtype),
-            jax.ShapeDtypeStruct((b, nq_p, 1), jnp.float32),
-        ),
+    out_shape = [jax.ShapeDtypeStruct((b, nq_p, c), v.dtype)]
+    out_specs = [pl.BlockSpec((1, BLOCK_Q, c), lambda bi, qi: (bi, qi, 0),
+                              memory_space=pltpu.VMEM)]
+    if want_lse:
+        out_shape.append(jax.ShapeDtypeStruct((b, nq_p), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, BLOCK_Q),
+                                      lambda bi, qi: (bi, qi),
+                                      memory_space=pltpu.VMEM))
+        kernel = _fwd_kernel
+    else:
+        kernel = lambda qr, kr, vr, orf: _fwd_kernel(qr, kr, vr, orf, None)  # noqa: E731
+
+    res = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape) if want_lse else out_shape[0],
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, BLOCK_Q, d), lambda bi, qi: (bi, qi, 0),
@@ -83,19 +100,17 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array):
             pl.BlockSpec((1, nk, c), lambda bi, qi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, BLOCK_Q, c), lambda bi, qi: (bi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q, 1), lambda bi, qi: (bi, qi, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=tuple(out_specs) if want_lse else out_specs[0],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * nq_p * nk * (d + c),
             bytes_accessed=(q.size + k.size + v.size + b * nq_p * c) * 4,
             transcendentals=b * nq_p * nk,
         ),
     )(q, k, v)
-    return out[:, :nq], lse[:, :nq]  # lse [b, nq, 1]
+    if not want_lse:
+        return res[:, :nq], None
+    out, lse = res
+    return out[:, :nq], lse[:, :nq]  # lse [b, nq]
 
 
 # Backward uses smaller query blocks: three [BQ, Nk] fp32 intermediates plus
@@ -127,7 +142,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     v = v_ref[0]
     do = do_ref[0]
     o = o_ref[0]
-    lse = lse_ref[0]
+    lse = lse_ref[0][:, None]  # [BQ] (2-D dense layout) -> [BQ, 1]
 
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -174,8 +189,7 @@ def _flash_backward(q, k, v, do, o, lse):
         o = jnp.pad(o, ((0, 0), (0, pad), (0, 0)))
         # padded rows: exp(0 - 0) = 1 would poison dk/dv sums; push lse to
         # +inf so p = exp(-inf) = 0 there
-        lse = jnp.pad(lse, ((0, 0), (0, pad), (0, 0)),
-                      constant_values=jnp.inf)
+        lse = jnp.pad(lse, ((0, 0), (0, pad)), constant_values=jnp.inf)
     nq_p = q.shape[1]
     grid = (b, nq_p // BLOCK_Q_BWD)
 
@@ -198,7 +212,7 @@ def _flash_backward(q, k, v, do, o, lse):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BLOCK_Q_BWD, c), lambda bi, qi: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q_BWD, 1), lambda bi, qi: (bi, qi, 0),
+            pl.BlockSpec((1, BLOCK_Q_BWD), lambda bi, qi: (bi, qi),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -220,8 +234,13 @@ def _flash_backward(q, k, v, do, o, lse):
 
 @jax.custom_vjp
 def flash_attend_tokens(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """Fused attention: Pallas forward + Pallas one-exp backward (saved lse)."""
-    return _flash_forward(q, k, v)[0]
+    """Fused attention: Pallas forward + Pallas one-exp backward (saved lse).
+
+    The primal body (what inference runs — custom_vjp only calls the fwd
+    rule under differentiation) skips the lse computation and its output
+    stream; training pays for lse only because its backward consumes it.
+    """
+    return _flash_forward(q, k, v, want_lse=False)[0]
 
 
 def _fwd_rule(q, k, v):
@@ -258,8 +277,8 @@ def flash_attention_viable(
         # [BQ, Nk] fp32 intermediates (s/p, dp, ds): at most two live at
         # once (s->p in place; dp consumed into ds; p kept for dv).
         + 2 * BLOCK_Q_BWD * nk * 4
-        # streamed per-q-block buffers (q, do, o, lse in; dq out),
-        # double-buffered by the pipeline.
+        # streamed per-q-block buffers (q, do, o in + the [BQ] lse row;
+        # dq out), double-buffered by the pipeline.
         + 2 * (BLOCK_Q_BWD * (d + 2 * c + 1) * itemsize
                + BLOCK_Q_BWD * d * 4)
     )

@@ -47,7 +47,8 @@ def test_flash_forward_matches_reference(b, nq, nk, d, c):
                   np.asarray(k, np.float64))
     want_lse = np.log(np.exp(s - s.max(-1, keepdims=True)).sum(-1)) + \
         s.max(-1)
-    np.testing.assert_allclose(np.asarray(lse[..., 0]), want_lse,
+    assert lse.shape == (b, nq)  # 2-D: a trailing 1-dim would be lane-padded
+    np.testing.assert_allclose(np.asarray(lse), want_lse,
                                rtol=1e-4, atol=1e-4)
 
 
@@ -106,3 +107,21 @@ def test_viability_heuristic():
     assert not flash_attention_viable(49, 49, 128, 1024)
     # absurd C blows the VMEM budget
     assert not flash_attention_viable(100000, 50000, 128, 4096)
+
+
+def test_flash_primal_nolse_matches_reference():
+    """The inference path (custom_vjp primal, no differentiation) uses the
+    lse-free kernel; it must produce the same output as the lse variant."""
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(2, 300, 8)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 49, 8)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 49, 16)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attend_tokens(q, k, v)  # primal body -> want_lse=False
+        nolse, none_lse = _flash_forward(q, k, v, want_lse=False)
+    assert none_lse is None
+    want = _ref(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nolse), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
