@@ -1,0 +1,31 @@
+"""Sweep (batch, steps_per_call) for the flagship train step on the chip.
+
+Usage: python scripts/sweep_bench.py [b,k [b,k ...]]   (default sweep below)
+Each config compiles its own program; with the persistent compilation cache
+(/tmp/jax_cache) repeats are cheap.
+"""
+
+import os
+import sys
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+import bench  # noqa: E402
+
+
+def main():
+    configs = [tuple(map(int, a.split(","))) for a in sys.argv[1:]] or [
+        (16, 4), (16, 8), (24, 4), (32, 4),
+    ]
+    for b, k in configs:
+        cps, mfu = bench.bench_train(b, steps_per_call=k)
+        print(f"batch {b:3d} k {k}: {cps:7.2f} clips/s  "
+              f"MFU {mfu:.3f}" if mfu else f"batch {b} k {k}: {cps:.2f}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
