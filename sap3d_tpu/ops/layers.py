@@ -8,6 +8,8 @@ so XLA can tile the convolutions onto the MXU; elementwise epilogues
 
 from __future__ import annotations
 
+import functools
+import os
 from typing import Sequence
 
 import jax
@@ -153,10 +155,20 @@ class ConvNormRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        x = nn.Conv(
+        kernel = _triple(self.kernel)
+        strides = _triple(self.strides)
+        # Experimental 2-D formulation of the 3-D conv (same params, exact
+        # math, ops/conv2d_path.py); opt-in until measured on hardware.
+        if os.environ.get("SAP3D_CONV3D_VIA_2D") == "1" and strides[0] == 1:
+            from sap3d_tpu.ops.conv2d_path import Conv3DVia2D
+
+            conv_cls = functools.partial(Conv3DVia2D, name="Conv_0")
+        else:
+            conv_cls = nn.Conv
+        x = conv_cls(
             self.features,
-            kernel_size=_triple(self.kernel),
-            strides=_triple(self.strides),
+            kernel_size=kernel,
+            strides=strides,
             padding="SAME",
             use_bias=self.use_bias,
             kernel_init=glorot(),
