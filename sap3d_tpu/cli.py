@@ -124,6 +124,10 @@ def cmd_train(argv) -> int:
                 num_processes=args.num_processes,
                 process_id=args.process_id,
             )
+        elif args.num_processes is not None or args.process_id is not None:
+            # without a coordinator these flags would be silently dropped
+            # and both launched processes would train independently
+            p.error("--num-processes/--process-id require --coordinator")
         initialize_distributed(**dist_kw)
     proc_idx, proc_cnt = jax.process_index(), jax.process_count()
     if args.batch % proc_cnt != 0:
@@ -295,6 +299,12 @@ def cmd_eval(argv) -> int:
             ev = make_eval_step(model, mesh=mesh)
             put = lambda f: mesh_lib.shard_batch(mesh, jax.numpy.asarray(f))  # noqa: E731
         else:
+            if n_dev > 1:
+                print(
+                    f"[eval] --batch {args.batch} does not divide by "
+                    f"{n_dev} devices; falling back to SINGLE-device eval",
+                    file=sys.stderr,
+                )
             ev = make_eval_step(model)
             put = jax.numpy.asarray
         loader = ClipLoader(

@@ -76,7 +76,11 @@ def evaluate_prediction_batches(
 
 
 def _read_gray(path: str) -> np.ndarray:
-    return cv2.imread(path, cv2.IMREAD_GRAYSCALE).astype(np.float64) / 255.0
+    # imread_checked names the offending file on decode failure (cv2's
+    # silent None would surface as a pathless AttributeError from a worker)
+    from sap3d_tpu.data.pipeline import imread_checked
+
+    return imread_checked(path, cv2.IMREAD_GRAYSCALE).astype(np.float64) / 255.0
 
 
 def _video_frame_pairs(
@@ -214,26 +218,50 @@ def _score_video_device(
         if want_fix:
             # fixation maps are native-resolution; pred resized to match.
             # auc_judd falls back to the density map when no fixation exists
-            # (host parity, _score_video).
+            # (host parity, _score_video).  Frames are bucketed by target
+            # shape (fixation vs density fallback may differ within a chunk).
             fixes = [
                 _read_gray(fp) if fp else None for _, _, fp in chunk
             ]
             tgts = [f if f is not None else g for f, g in zip(fixes, gts)]
-            tgt_arr = np.stack(tgts).astype(np.float32)
-            has_fix = np.array([f is not None for f in fixes])
-            key, k1, k2 = jax.random.split(key, 3)
-            if {"auc_judd", "auc_borji"} & set(metrics):
-                pred_cubic = resize_stack(preds, tgts, cv2.INTER_CUBIC)
-                if "auc_judd" in metrics:
-                    scores["auc_judd"] += list(
-                        np.asarray(MJ.auc_judd(pred_cubic, tgt_arr, k1)))
-                if "auc_borji" in metrics:
-                    v = np.asarray(MJ.auc_borji(pred_cubic, tgt_arr, k2))
-                    scores["auc_borji"] += list(np.where(has_fix, v, np.nan))
-            if "nss" in metrics:
-                pred_lin = resize_stack(preds, tgts, cv2.INTER_LINEAR)
-                v = np.asarray(MJ.nss(pred_lin, tgt_arr))
-                scores["nss"] += list(np.where(has_fix, v, np.nan))
+            buckets: dict[tuple, list[int]] = {}
+            for j, t in enumerate(tgts):
+                buckets.setdefault(t.shape, []).append(j)
+            for idxs in buckets.values():
+                tgt_b = [tgts[j] for j in idxs]
+                tgt_arr = np.stack(tgt_b).astype(np.float32)
+                has_fix = np.array([fixes[j] is not None for j in idxs])
+                key, k1, k2 = jax.random.split(key, 3)
+                if {"auc_judd", "auc_borji"} & set(metrics):
+                    pred_cubic = resize_stack(
+                        [preds[j] for j in idxs], tgt_b, cv2.INTER_CUBIC)
+                    # frames whose active-pixel count exceeds the device
+                    # sweep cap (dense density-map targets) score on host —
+                    # the device kernel would return NaN there
+                    active = (tgt_arr > 0.5).sum(axis=(1, 2))
+                    over = active > min(4096, tgt_arr[0].size)
+                    if "auc_judd" in metrics:
+                        v = np.asarray(MJ.auc_judd(pred_cubic, tgt_arr, k1))
+                        v = [
+                            M.AUC_Judd(pred_cubic[b], tgt_arr[b], rng=rng)
+                            if over[b] else float(v[b])
+                            for b in range(len(idxs))
+                        ]
+                        scores["auc_judd"] += v
+                    if "auc_borji" in metrics:
+                        v = np.asarray(MJ.auc_borji(pred_cubic, tgt_arr, k2))
+                        scores["auc_borji"] += [
+                            (M.AUC_Borji(pred_cubic[b], tgt_arr[b], rng=rng)
+                             if over[b] else float(v[b]))
+                            for b in range(len(idxs)) if has_fix[b]
+                        ]
+                if "nss" in metrics and has_fix.any():
+                    pred_lin = resize_stack(
+                        [preds[j] for j in idxs], tgt_b, cv2.INTER_LINEAR)
+                    v = np.asarray(MJ.nss(pred_lin, tgt_arr))
+                    scores["nss"] += [
+                        float(v[b]) for b in range(len(idxs)) if has_fix[b]
+                    ]
     return {m: M.nan_filtered_mean(v) for m, v in scores.items() if v}
 
 

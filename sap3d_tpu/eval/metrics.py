@@ -124,6 +124,11 @@ def AUC_Borji(
         S_rand = S[idx]
     else:
         S_rand = rand_sampler(S, F, n_rep, n_fix)
+    if S_rand.shape[0] == 0:
+        # empty negative pool (e.g. a shuffled sampler whose other-map has
+        # no fixations): every rep's fp is 0/0 — the per-rep loop this
+        # vectorization replaced produced NaN curves here, filtered upstream
+        return float("nan")
 
     # Vectorized across the n_rep repetitions (the reference loops per rep,
     # reference metrics.py:140-152).  Every rep's threshold list is the

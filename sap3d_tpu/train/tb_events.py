@@ -128,12 +128,16 @@ class EventWriter:
         )
 
     def scalars(self, values: dict, step: int) -> None:
-        """Write every numeric entry of ``values`` as its own scalar."""
+        """Write every numeric entry of ``values`` as its own scalar.
+        ``numbers.Number`` covers numpy scalars (np.float32 etc.), which a
+        plain (int, float) isinstance would silently drop."""
+        import numbers
+
         t = time.time()
         for key, v in values.items():
             if key == "step":
                 continue
-            if isinstance(v, (int, float)) and not isinstance(v, bool):
+            if isinstance(v, numbers.Number) and not isinstance(v, bool):
                 self.scalar(key, v, step, t)
 
     def flush(self) -> None:

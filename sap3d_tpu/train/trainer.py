@@ -275,16 +275,22 @@ class Trainer:
             f = mesh_lib.shard_batch(self.mesh, jnp.asarray(frames))
             # local rows only: on a multi-host mesh the global pred spans
             # non-addressable devices; each host scores its own loader rows
-            # and the lists are all-gathered below
+            # and the lists are all-gathered below.  The time axis is sliced
+            # ON DEVICE before fetching — only the last frame crosses D2H
+            # (the full [B,T,H,W] fetch is 16x the bytes; cf. the predictor's
+            # device-side last-frame slicing, infer/predictor.py)
             pred_last = jnp.asarray(
-                self._local_block(self.eval_step(self.state, f))[:, -1]
+                self._local_block(self.eval_step(self.state, f)[:, -1])
             )  # [B_local, H, W]
             gt_last = jnp.asarray(targets)[:, -1]
             ccs += list(np.asarray(metrics_jax.cc(pred_last, gt_last)))
             sims += list(np.asarray(metrics_jax.sim(pred_last, gt_last)))
             klds += list(np.asarray(metrics_jax.kldiv(pred_last, gt_last)))
+            # density-map targets are dense: sweep the full pixel count
+            # (the default fixation cap is sized for sparse fixation maps)
             aucs += list(np.asarray(metrics_jax.auc_judd(
-                pred_last, gt_last, jax.random.fold_in(jitter_key, bi)
+                pred_last, gt_last, jax.random.fold_in(jitter_key, bi),
+                fix_cap=gt_last.shape[-2] * gt_last.shape[-1],
             )))
         if jax.process_count() > 1:
             # every host scored a disjoint clip subset of equal size; gather

@@ -171,3 +171,47 @@ def test_evaluate_saliency_dirs_device_matches_host(tmp_path):
     with pytest.raises(ValueError):
         evaluate_saliency_dirs(*args, device=True,
                                metrics=("cc", "auc_shuffled"))
+
+
+def test_device_scoring_dense_targets_and_mixed_shapes(tmp_path):
+    """Device scoring must (a) host-fallback AUC on dense density-map
+    targets that exceed the device sweep cap instead of reporting NaN, and
+    (b) survive chunks mixing fixation targets with density fallbacks of a
+    different resolution."""
+    import pytest
+
+    from sap3d_tpu.eval.evaluator import evaluate_saliency_dirs
+
+    rng = np.random.default_rng(11)
+    # one video, 4 frames at 96x96 (=9216 > 4096 active pixels possible):
+    # dense density maps, fixations only for the first two frames AND at a
+    # different (smaller) resolution than the density maps
+    for d in ("pred/v0", "density/v0", "fixation/v0"):
+        (tmp_path / d).mkdir(parents=True)
+    yy, xx = np.mgrid[0:96, 0:96]
+    blob = np.exp(-((yy - 48) ** 2 + (xx - 48) ** 2) / (2 * 40.0**2))
+    assert (blob > 0.5).sum() > 4096  # the device cap is genuinely exceeded
+    for i in range(1, 5):
+        cv2.imwrite(str(tmp_path / "pred/v0" / f"frame_{i}.jpg"),
+                    np.uint8(np.clip(blob + rng.normal(0, .05, blob.shape), 0, 1) * 255))
+        cv2.imwrite(str(tmp_path / "density/v0" / f"frame_{i}.jpg"),
+                    np.uint8(blob * 255))
+        if i <= 2:
+            fix = np.zeros((48, 48), np.uint8)  # NATIVE res differs
+            pts = rng.integers(18, 30, size=(6, 2))
+            fix[pts[:, 0], pts[:, 1]] = 255
+            cv2.imwrite(str(tmp_path / "fixation/v0" / f"frame_{i}.bmp"), fix)
+
+    host = evaluate_saliency_dirs(
+        str(tmp_path / "pred"), str(tmp_path / "density"),
+        str(tmp_path / "fixation"), ("cc", "auc_judd", "nss"),
+        rng=np.random.default_rng(3))
+    dev = evaluate_saliency_dirs(
+        str(tmp_path / "pred"), str(tmp_path / "density"),
+        str(tmp_path / "fixation"), ("cc", "auc_judd", "nss"),
+        rng=np.random.default_rng(3), device=True)
+    assert not np.isnan(dev["v0"]["auc_judd"])
+    assert dev["v0"]["cc"] == pytest.approx(host["v0"]["cc"], abs=1e-3)
+    assert dev["v0"]["auc_judd"] == pytest.approx(host["v0"]["auc_judd"],
+                                                  abs=0.05)
+    assert dev["v0"]["nss"] == pytest.approx(host["v0"]["nss"], abs=1e-2)

@@ -321,3 +321,15 @@ def test_jax_auc_borji_matches_host_distribution():
     assert np.isnan(np.asarray(
         MJ.auc_borji(jnp.asarray(pred), nofix, jax.random.PRNGKey(0))
     ))[0]
+
+
+def test_auc_borji_empty_negative_pool_nan():
+    """A sampler with zero negatives must yield NaN, not crash (the per-rep
+    loop this vectorization replaced produced NaN curves here)."""
+    rng = np.random.default_rng(3)
+    pred = rng.random((12, 12))
+    fix = np.zeros((12, 12))
+    fix[4, 4] = 1.0
+    empty = lambda S, F, n_rep, n_fix: np.empty((0, n_rep))  # noqa: E731
+    assert np.isnan(M.AUC_Borji(pred, fix, rand_sampler=empty,
+                                rng=np.random.default_rng(0)))
