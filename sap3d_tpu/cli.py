@@ -158,6 +158,18 @@ def cmd_train(argv) -> int:
         skip_head=cfg.data.skip_head, seed=cfg.data.shuffle_seed,
     )
     print(idx.summary())
+    if not idx.train_clips():
+        # otherwise a misconfigured launch "trains" on zero batches and
+        # writes a plausible-looking run dir holding random weights
+        print("no training clips found — check --dataset/--frames/"
+              "--densities", file=sys.stderr)
+        return 2
+    n_dev = jax.device_count() if args.devices in (-1, 0) else args.devices
+    if args.batch % max(n_dev, 1) != 0:
+        print(f"--batch {args.batch} must divide by the data-parallel mesh "
+              f"size {n_dev} (use --devices to shrink the mesh)",
+              file=sys.stderr)
+        return 2
     trainer = Trainer(cfg)
     train_loader = ClipLoader(
         idx.train_clips(), host_batch, size=cfg.data.image_size,
@@ -236,6 +248,11 @@ def cmd_eval(argv) -> int:
     from sap3d_tpu.train.steps import make_eval_step
 
     data = _data_config(args)
+    if not data.fixation_dir:
+        # eval computes NSS/AUC against fixation maps (reference
+        # test.py:173-175); named DATASET_ROOTS entries carry densities only
+        p.error("eval needs fixation maps: pass --fixations <dir> "
+                "(NSS/AUC-Judd/AUC-Borji are fixation-based)")
     idx = ClipIndex(
         data.frame_dirs, data.density_dirs, fixation_dir=data.fixation_dir,
         video_length=data.video_length,

@@ -110,8 +110,12 @@ class TrainConfig:
     model_dir: str = "./model"
     logs_dir: str = "./logs"
     info: str = ""
-    # Sync BatchNorm batch statistics across the data-parallel mesh. Default
-    # False for parity: TF1 computed per-replica stats (SURVEY.md section 7).
+    # Historical knob, now a documented no-op: under the jit+GSPMD trainer
+    # the batch axis is sharded on the mesh, so BN's mean/var reductions are
+    # ALWAYS global-batch (XLA inserts the collectives) — i.e. sync-BN is
+    # structurally on.  TF1's per-replica stats (SURVEY.md section 7) do not
+    # exist under GSPMD; the single-process reference ran one replica, where
+    # global == per-replica, so parity is unaffected.
     sync_bn: bool = False
     # Train steps fused into one device dispatch via lax.scan (amortizes
     # host dispatch latency; +45% on the tunneled v5e, BASELINE.md). 1 =

@@ -49,6 +49,11 @@ def evaluate_prediction_batches(
         index += 1
         pred = np.asarray(forward_fn(frames))
         for b in range(pred.shape[0]):
+            # bilinear pre-resize to (960,1080) is reference-exact: the
+            # reference resizes the prediction with cv2's default BEFORE
+            # scoring (reference test.py:168); the metrics' own bicubic
+            # resize then only applies to any remaining mismatch (fixation
+            # maps at native resolution)
             p = cv2.resize(pred[b, -1], dsize=out_size)
             density = densities[b, -1]
             fixation = fixations[b, -1]

@@ -64,21 +64,10 @@ def cpu_collective_patience(seconds: int = 1800) -> dict | None:
     return {"xla_cpu_collective_call_terminate_timeout_seconds": int(seconds)}
 
 
-def make_train_step(
-    model, mesh: Mesh | None = None, donate: bool = True, state_sharding=None,
-    compiler_options: dict | None = None,
-) -> Callable:
-    """Returns train_step(state, frames, targets, rng) -> (state, loss).
-
-    With a mesh, the loss stays a *global* sum over the sharded batch — the
-    per-element gradient scale matches the reference's single-process math
-    regardless of device count.
-
-    ``state_sharding`` (a TrainState of NamedShardings, see
-    core/sharding_rules.py) enables hybrid data+tensor parallelism: wide
-    kernels live sharded on the 'model' axis, XLA propagates the activation
-    shardings and inserts the collectives.
-    """
+def _one_step(model) -> Callable:
+    """The single fused train-step body shared by make_train_step and
+    make_multi_train_step (the scan body MUST stay numerically identical to
+    the single-step path — one definition enforces it)."""
 
     def step(state: TrainState, frames, targets, rng):
         drop_rng = fast_dropout_key(rng)
@@ -98,6 +87,26 @@ def make_train_step(
         )
         state = state.apply_gradients(grads).replace(batch_stats=new_stats)
         return state, loss
+
+    return step
+
+
+def make_train_step(
+    model, mesh: Mesh | None = None, donate: bool = True, state_sharding=None,
+    compiler_options: dict | None = None,
+) -> Callable:
+    """Returns train_step(state, frames, targets, rng) -> (state, loss).
+
+    With a mesh, the loss stays a *global* sum over the sharded batch — the
+    per-element gradient scale matches the reference's single-process math
+    regardless of device count.
+
+    ``state_sharding`` (a TrainState of NamedShardings, see
+    core/sharding_rules.py) enables hybrid data+tensor parallelism: wide
+    kernels live sharded on the 'model' axis, XLA propagates the activation
+    shardings and inserts the collectives.
+    """
+    step = _one_step(model)
 
     if mesh is None:
         return jax.jit(
@@ -135,26 +144,11 @@ def make_multi_train_step(
     one step's optimizer/BN tail with the next step's forward at the cost of
     a larger program (compile time scales with the unroll factor).
     """
+    step = _one_step(model)
 
     def one(state: TrainState, xs):
         frames, targets, rng = xs
-        drop_rng = fast_dropout_key(rng)
-
-        def loss_of(params):
-            out, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                frames,
-                train=True,
-                rngs={"dropout": drop_rng},
-                mutable=["batch_stats"],
-            )
-            return loss_fn_saliency(out, targets), dict(mutated.get("batch_stats", {}))
-
-        (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(
-            state.params
-        )
-        state = state.apply_gradients(grads).replace(batch_stats=new_stats)
-        return state, loss
+        return step(state, frames, targets, rng)
 
     def multi_step(state: TrainState, frames, targets, rng):
         rngs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(

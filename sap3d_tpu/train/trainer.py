@@ -68,11 +68,19 @@ class Trainer:
             jax.config.update("jax_debug_nans", True)
 
         self.mesh = mesh_lib.make_mesh(cfg.train.num_devices)
+        # BN batch stats are ALWAYS global-batch under this trainer: the
+        # step is jit+GSPMD with the batch sharded on 'data', so BN's mean/
+        # var reductions span the global batch and XLA inserts the
+        # cross-device collectives automatically (proven by the DP-vs-
+        # single-device loss-trajectory parity test, tests/test_sharding.py).
+        # Passing a flax axis_name here would require a pmap/shard_map-bound
+        # axis and crashes under jit — sync_bn is therefore an (accepted)
+        # no-op knob; axis_name stays available on the modules for
+        # shard_map embedders (core/config.py:sync_bn).
         self.model = build_model(
             resolve_name(cfg.model.name),
             dtype=cfg.model.dtype,
             dropout_rate=cfg.model.dropout,
-            axis_name=mesh_lib.DATA_AXIS if cfg.train.sync_bn else None,
         )
         b = cfg.train.batch_size
         t, s = cfg.data.video_length, cfg.data.image_size
@@ -170,12 +178,15 @@ class Trainer:
             yield 1, f, t
 
     def _prepare(self, item):
-        """Host batch -> device arrays (sharded put) + host-side leftovers."""
+        """Host batch -> device arrays (sharded put) + host-side leftovers.
+
+        The NumPy batch goes straight into the sharded device_put — an
+        intermediate jnp.asarray would stage the whole batch on device 0
+        first and pay an extra device-to-device scatter (and, multi-host, a
+        D2H round trip inside make_array_from_process_local_data)."""
         k, frames, targets = item
-        f, t = mesh_lib.shard_batch(
-            self.mesh, (jnp.asarray(frames), jnp.asarray(targets)),
-            macro=(k > 1),
-        )
+        f, t = mesh_lib.shard_batch(self.mesh, (frames, targets),
+                                    macro=(k > 1))
         n_clips = frames.shape[0] * (frames.shape[1] if k > 1 else 1)
         return k, f, t, targets, n_clips
 
@@ -272,7 +283,7 @@ class Trainer:
         ccs, sims, klds, aucs = [], [], [], []
         jitter_key = jax.random.PRNGKey(step)
         for bi, (frames, targets) in enumerate(valid_batches):
-            f = mesh_lib.shard_batch(self.mesh, jnp.asarray(frames))
+            f = mesh_lib.shard_batch(self.mesh, np.asarray(frames))
             # local rows only: on a multi-host mesh the global pred spans
             # non-addressable devices; each host scores its own loader rows
             # and the lists are all-gathered below.  The time axis is sliced
