@@ -8,6 +8,7 @@ LOG=/tmp/tpu_r3.log
 PY="python"
 export PYTHONPATH=/root/.axon_site:$REPO
 cd $REPO
+rm -f $LOG
 
 run() {
   local name=$1 tmo=$2; shift 2
@@ -20,8 +21,8 @@ run() {
 run warmup 600 $PY -c "
 import jax, jax.numpy as jnp
 print(jax.devices())
-print('ok', (jnp.ones((1024,1024),jnp.bfloat16)@jnp.ones((1024,1024),jnp.bfloat16)).sum())"
-grep -q "ok" $LOG || { echo "tunnel still dead"; exit 1; }
+print('TUNNEL_OK', (jnp.ones((1024,1024),jnp.bfloat16)@jnp.ones((1024,1024),jnp.bfloat16)).sum())"
+grep -q "TUNNEL_OK" $LOG || { echo "tunnel still dead"; exit 1; }
 
 # 1. inference regression bisect (lse-free kernel now default primal)
 run bisect_infer 2400 $PY scripts/bisect_infer.py
