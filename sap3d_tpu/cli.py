@@ -472,7 +472,7 @@ def cmd_eval_dirs(argv) -> int:
     p.add_argument("--device", type=parse_bool, default=False,
                    help="score on the accelerator: one jitted batch "
                         "reduction per frame chunk instead of per-frame "
-                        "NumPy loops (auc_shuffled stays host-only)")
+                        "NumPy loops")
     args = p.parse_args(argv)
     if args.dsname:
         from sap3d_tpu.core.config import EVAL_DATASETS

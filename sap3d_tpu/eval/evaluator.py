@@ -176,6 +176,7 @@ def _score_video_device(
     pairs: list[tuple[str, str, str | None]],
     metrics: tuple[str, ...],
     rng: np.random.Generator,
+    other_union: np.ndarray | None = None,
     batch: int = 32,
 ) -> dict[str, float]:
     """One video's scores with the metric math on the accelerator.
@@ -183,18 +184,37 @@ def _score_video_device(
     Decoding and resize stay host-side; frames are stacked into [batch,H,W]
     chunks and each requested metric runs as ONE jitted reduction per chunk
     (eval/metrics_jax.py), replacing the per-frame NumPy loops.  AUC-Judd
-    jitter and the Borji sampler use a JAX PRNG derived from ``rng``, so
-    scores match the host path in distribution (both are Monte-Carlo);
-    cc/sim/kldiv are deterministic and match the host bitwise-close.
-    ``auc_shuffled`` is host-only (its negative pool spans other videos).
+    jitter and the Borji/shuffled samplers use a JAX PRNG derived from
+    ``rng``, so scores match the host path in distribution (both are
+    Monte-Carlo); cc/sim/kldiv are deterministic and match the host
+    bitwise-close.  ``other_union`` is the cross-video fixation pool for
+    ``auc_shuffled`` (its flat indices become the device sampler's pool).
     """
     import jax
+    import jax.numpy as jnp
 
     from sap3d_tpu.eval import metrics_jax as MJ
 
     key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
     scores: dict[str, list] = {m: [] for m in metrics}
-    want_fix = {"nss", "auc_judd", "auc_borji"} & set(metrics)
+    want_fix = {"nss", "auc_judd", "auc_borji", "auc_shuffled"} & set(metrics)
+    other_cache: dict[tuple, tuple[np.ndarray, int]] = {}
+
+    def other_pool(shape):
+        # cross-video fixation indices at this target shape, zero-padded to
+        # a power of two so jit recompiles stay bounded
+        if shape not in other_cache:
+            u = cv2.resize(
+                other_union.astype(np.uint8), (shape[1], shape[0]),
+                interpolation=cv2.INTER_NEAREST,
+            ) > 0
+            idx = np.flatnonzero(u)
+            m = len(idx)
+            pad = max(1 << max(m - 1, 1).bit_length(), 1)
+            other_cache[shape] = (
+                np.pad(idx, (0, pad - m)).astype(np.int32), m,
+            )
+        return other_cache[shape]
 
     def resize_stack(preds, tgts, interpolation):
         # host-parity interpolation per metric (metrics.py:_resize_to:
@@ -236,7 +256,18 @@ def _score_video_device(
                 tgt_b = [tgts[j] for j in idxs]
                 tgt_arr = np.stack(tgt_b).astype(np.float32)
                 has_fix = np.array([fixes[j] is not None for j in idxs])
-                key, k1, k2 = jax.random.split(key, 3)
+                key, k1, k2, k3 = jax.random.split(key, 4)
+                if ("auc_shuffled" in metrics and other_union is not None
+                        and has_fix.any()):
+                    pool_idx, pool_n = other_pool(tgt_arr[0].shape)
+                    pred_cub = resize_stack(
+                        [preds[j] for j in idxs], tgt_b, cv2.INTER_CUBIC)
+                    v = np.asarray(MJ.auc_shuffled(
+                        pred_cub, tgt_arr, jnp.asarray(pool_idx),
+                        jnp.int32(pool_n), k3))
+                    scores["auc_shuffled"] += [
+                        float(v[b]) for b in range(len(idxs)) if has_fix[b]
+                    ]
                 if {"auc_judd", "auc_borji"} & set(metrics):
                     pred_cubic = resize_stack(
                         [preds[j] for j in idxs], tgt_b, cv2.INTER_CUBIC)
@@ -295,13 +326,8 @@ def evaluate_saliency_dirs(
     ``device=True`` runs the metric math batched on the accelerator
     (``_score_video_device``): frames are scored in one jitted reduction per
     chunk instead of per-frame NumPy loops.  Videos are then processed
-    serially (one device, no thread pool); ``auc_shuffled`` stays host-only.
+    serially (one device, no thread pool).
     """
-    if device and "auc_shuffled" in metrics:
-        raise ValueError(
-            "auc_shuffled is host-only (cross-video negative pool); drop it "
-            "from metrics or use device=False"
-        )
     rng = rng or np.random.default_rng(0)
     vdirs = [
         d for d in sorted(glob.glob(os.path.join(pred_root, "*")))
@@ -336,8 +362,9 @@ def evaluate_saliency_dirs(
         if vdirs else []
     if device:
         return {
-            v: _score_video_device(pairs, metrics, crng)
-            for v, pairs, crng in zip(vnames, all_pairs, child_rngs)
+            v: _score_video_device(pairs, metrics, crng, other)
+            for v, pairs, crng, other in zip(
+                vnames, all_pairs, child_rngs, others)
         }
     if workers is None:
         workers = min(8, os.cpu_count() or 1)

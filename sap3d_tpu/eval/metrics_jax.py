@@ -153,6 +153,47 @@ def auc_judd(pred: jax.Array, fixations: jax.Array,
     return jnp.where((n_fix > 0) & (n_fix <= cap), auc, jnp.nan)
 
 
+def _range_normalize_rows(pred: jax.Array):
+    """Flatten + range-normalize into [0,1]; also report constant rows."""
+    n = pred.shape[0]
+    s = pred.astype(jnp.float32).reshape(n, -1)
+    lo = jnp.min(s, axis=1, keepdims=True)
+    hi = jnp.max(s, axis=1, keepdims=True)
+    constant = (hi - lo)[:, 0] <= 0
+    return (s - lo) / jnp.where(hi > lo, hi - lo, 1.0), constant
+
+
+def _auc_sampled_negatives(s, f, n_fix, s_rand, step_size):
+    """Shared Borji/shuffled curve: tp from the fixation pixels, fp from the
+    sampled negatives [N, R, cap] (-inf past each row's n_fix), trapezoid
+    over the STATIC global threshold grid (exact after range normalization —
+    thresholds above a rep's max add zero area)."""
+    n, n_rep, _ = s_rand.shape
+    nf = jnp.maximum(n_fix, 1).astype(jnp.float32)
+    thresholds = jnp.arange(0.0, 1.0 + step_size, step_size)[::-1]  # [T]
+
+    # tp(t) = #{fixation pixels with s >= t} / n_fix — full-map masked
+    # reduction (fused by XLA; [N, T, P] is never materialized)
+    s_fix = jnp.where(f, s, -jnp.inf)  # [N, P]
+    tp = (
+        jnp.sum(s_fix[:, None, :] >= thresholds[None, :, None], axis=2)
+        / nf[:, None]
+    )  # [N, T]
+    fp = (
+        jnp.sum(s_rand[:, :, None, :] >= thresholds[None, None, :, None],
+                axis=3)
+        / nf[:, None, None]
+    )  # [N, R, T]
+
+    zeros = jnp.zeros((n, n_rep, 1), jnp.float32)
+    ones = jnp.ones((n, n_rep, 1), jnp.float32)
+    tp_full = jnp.concatenate(
+        [zeros, jnp.broadcast_to(tp[:, None, :], fp.shape), ones], axis=2
+    )
+    fp_full = jnp.concatenate([zeros, fp, ones], axis=2)
+    return jnp.mean(_trapz_rows(tp_full, fp_full), axis=1)  # [N]
+
+
 @functools.partial(jax.jit, static_argnames=("n_rep", "step_size", "fix_cap"))
 def auc_borji(pred: jax.Array, fixations: jax.Array, key: jax.Array,
               n_rep: int = 100, step_size: float = 0.1,
@@ -167,43 +208,49 @@ def auc_borji(pred: jax.Array, fixations: jax.Array, key: jax.Array,
     """
     n, h, w = pred.shape
     p = h * w
-    s = pred.astype(jnp.float32).reshape(n, p)
-    lo = jnp.min(s, axis=1, keepdims=True)
-    hi = jnp.max(s, axis=1, keepdims=True)
-    constant = (hi - lo)[:, 0] <= 0
-    s = (s - lo) / jnp.where(hi > lo, hi - lo, 1.0)  # range-normalized [0,1]
+    s, constant = _range_normalize_rows(pred)
     f = (fixations > 0.5).reshape(n, p)
     n_fix = jnp.sum(f, axis=1)  # [N]
-    nf = jnp.maximum(n_fix, 1).astype(jnp.float32)
     cap = min(fix_cap, p)
-
-    # static global threshold grid (descending); values are in [0, 1]
-    thresholds = jnp.arange(0.0, 1.0 + step_size, step_size)[::-1]  # [T]
-
-    # tp(t) = #{fixation pixels with s >= t} / n_fix — full-map masked
-    # reduction (fused by XLA; [N, T, P] is never materialized)
-    s_fix = jnp.where(f, s, -jnp.inf)  # [N, P]
-    tp = (
-        jnp.sum(s_fix[:, None, :] >= thresholds[None, :, None], axis=2)
-        / nf[:, None]
-    )  # [N, T]
 
     # negatives: cap uniform pixel draws per rep; only the first n_fix count
     idx = jax.random.randint(key, (n, n_rep, cap), 0, p)
     s_rand = jax.vmap(lambda sv, iv: sv[iv])(s, idx)  # [N, R, cap]
     live = jnp.arange(cap)[None, None, :] < n_fix[:, None, None]
     s_rand = jnp.where(live, s_rand, -jnp.inf)
-    fp = (
-        jnp.sum(s_rand[:, :, None, :] >= thresholds[None, None, :, None],
-                axis=3)
-        / nf[:, None, None]
-    )  # [N, R, T]
 
-    zeros = jnp.zeros((n, n_rep, 1), jnp.float32)
-    ones = jnp.ones((n, n_rep, 1), jnp.float32)
-    tp_full = jnp.concatenate(
-        [zeros, jnp.broadcast_to(tp[:, None, :], fp.shape), ones], axis=2
-    )
-    fp_full = jnp.concatenate([zeros, fp, ones], axis=2)
-    auc = jnp.mean(_trapz_rows(tp_full, fp_full), axis=1)  # mean over reps
+    auc = _auc_sampled_negatives(s, f, n_fix, s_rand, step_size)
     return jnp.where((n_fix > 0) & ~constant & (n_fix <= cap), auc, jnp.nan)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rep", "step_size", "fix_cap"))
+def auc_shuffled(pred: jax.Array, fixations: jax.Array,
+                 other_idx: jax.Array, other_count: jax.Array,
+                 key: jax.Array, n_rep: int = 100, step_size: float = 0.1,
+                 fix_cap: int = 4096) -> jax.Array:
+    """Batched shuffled AUC: negatives drawn from OTHER videos' fixation
+    locations (host: eval/metrics.py:AUC_shuffled).
+
+    ``other_idx`` is a static-size [M] array of flat pixel indices of the
+    cross-video fixation pool (padding beyond ``other_count`` is ignored —
+    draws are uniform over the first ``other_count`` entries).  Deviation
+    from the host sampler: draws are WITH replacement (the host permutes the
+    pool per repetition); for pools much larger than n_fix the distributions
+    coincide and scores agree within Monte-Carlo noise.
+    """
+    n, h, w = pred.shape
+    p = h * w
+    s, constant = _range_normalize_rows(pred)
+    f = (fixations > 0.5).reshape(n, p)
+    n_fix = jnp.sum(f, axis=1)  # [N]
+    cap = min(fix_cap, p)
+
+    j = jax.random.randint(key, (n, n_rep, cap), 0,
+                           jnp.maximum(other_count, 1))
+    s_rand = jax.vmap(lambda sv, jv: sv[other_idx[jv]])(s, j)  # [N, R, cap]
+    live = jnp.arange(cap)[None, None, :] < n_fix[:, None, None]
+    s_rand = jnp.where(live, s_rand, -jnp.inf)
+
+    auc = _auc_sampled_negatives(s, f, n_fix, s_rand, step_size)
+    ok = (n_fix > 0) & ~constant & (n_fix <= cap) & (other_count > 0)
+    return jnp.where(ok, auc, jnp.nan)
