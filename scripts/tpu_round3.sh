@@ -24,6 +24,10 @@ print(jax.devices())
 print('TUNNEL_OK', (jnp.ones((1024,1024),jnp.bfloat16)@jnp.ones((1024,1024),jnp.bfloat16)).sum())"
 grep -q "TUNNEL_OK" $LOG || { echo "tunnel still dead"; exit 1; }
 
+# 0.5 real-hardware smoke of the changed flash kernel (2-D lse / no-lse)
+run smoke_flash 1200 $PY scripts/smoke_flash_tpu.py
+grep -q "SMOKE PASS" $LOG || { echo "flash kernel smoke FAILED"; exit 1; }
+
 # 1. inference regression bisect (lse-free kernel now default primal)
 run bisect_infer 2400 $PY scripts/bisect_infer.py
 
