@@ -64,6 +64,16 @@ def cpu_collective_patience(seconds: int = 1800) -> dict | None:
     return {"xla_cpu_collective_call_terminate_timeout_seconds": int(seconds)}
 
 
+def _donation_supported() -> bool:
+    """Donation is an HBM-reuse optimization; on the CPU backend it is
+    worthless AND pathological: a donated-input lax.scan train program
+    compiles fine but its execution never completes (observed on jax 0.8
+    XLA:CPU — the k=2 micro-model scan that runs in <1s undonated hangs
+    >6 min donated).  Tests and the virtual-device sharding setup all run
+    on CPU, so donation is disabled there at the factory level."""
+    return jax.default_backend() != "cpu"
+
+
 def _one_step(model) -> Callable:
     """The single fused train-step body shared by make_train_step and
     make_multi_train_step (the scan body MUST stay numerically identical to
@@ -107,6 +117,7 @@ def make_train_step(
     shardings and inserts the collectives.
     """
     step = _one_step(model)
+    donate = donate and _donation_supported()
 
     if mesh is None:
         return jax.jit(
@@ -145,6 +156,7 @@ def make_multi_train_step(
     a larger program (compile time scales with the unroll factor).
     """
     step = _one_step(model)
+    donate = donate and _donation_supported()
 
     def one(state: TrainState, xs):
         frames, targets, rng = xs

@@ -193,3 +193,26 @@ def test_multi_step_gn_family(batch):
     )
     assert np.isfinite(np.asarray(losses)).all()
     assert int(state.step) == K
+
+
+def test_multi_step_donated_completes_on_cpu():
+    """Donated-input lax.scan programs hang at execution on XLA:CPU (jax
+    0.8); the step factories disable donation on the CPU backend, so the
+    production default (donate=True) must complete here."""
+    import numpy as np
+
+    from sap3d_tpu.models.registry import build_model
+    from sap3d_tpu.train.state import create_train_state
+    from sap3d_tpu.train.steps import make_multi_train_step
+
+    model = build_model("p3d_micro", dtype="float32")
+    k, b = 2, 2
+    shape = (k, b, 16, 16, 16, 3)
+    rng = np.random.default_rng(0)
+    frames = np.asarray(rng.normal(size=shape), np.float32)
+    targets = np.asarray(rng.random(shape[:-1]), np.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               input_shape=shape[1:])
+    step = make_multi_train_step(model, k, donate=True)
+    state, losses = step(state, frames, targets, jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses[-1]))
