@@ -22,6 +22,8 @@ and later runs report speedup against it.
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -145,7 +147,37 @@ def bench_infer(batch: int):
     return batch / sec_per_call, mfu
 
 
+def _probe_devices(timeout_s: float) -> bool:
+    """True iff jax.devices() completes in a bounded subprocess.
+
+    When the axon relay tunnel is down, jax.devices() BLOCKS indefinitely
+    (observed 2026-08-17: the relay listener vanished for 8+ hours) — a
+    hang here would stall the driver's end-of-round bench run, so probe in
+    a killable child first and fail fast with an honest error record.
+    """
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
+    if not _probe_devices(probe_timeout):
+        print(json.dumps({
+            "metric": "train clips/sec/chip (16-frame, p3d_unetplusplus_ds)",
+            "value": 0.0,
+            "unit": "clips/sec",
+            "vs_baseline": 0.0,
+            "error": "TPU unreachable (device acquisition did not complete "
+                     f"in {probe_timeout:.0f}s; relay tunnel down) — no "
+                     "measurement taken",
+        }))
+        raise SystemExit(2)
     platform = jax.devices()[0].platform
     # batch sweep on v5e: train 8->54.8, 16->97.7, 32->99.0 clips/s; 16 is
     # the knee (BASELINE.md).
