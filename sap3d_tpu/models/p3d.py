@@ -27,6 +27,7 @@ residual path of every bottleneck (reference gn/p3d_gn.py:175).
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
@@ -234,7 +235,16 @@ class P3DEncoder(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def _cat(xs: Sequence[jax.Array]) -> jax.Array:
+def _cat(xs: Sequence[jax.Array]):
+    """Dense-skip channel concat feeding a ConvNormRelu.
+
+    Under SAP3D_CONCAT_SPLIT=1 the parts are handed to ConvNormRelu
+    unconcatenated and the conv runs split-and-summed per part
+    (ops/concat_split.py) — the concat tensor never materializes in HBM.
+    Every _cat consumer is a ConvNormRelu (the one plain-conv site,
+    GNSAConcat2Decoder, concatenates eagerly itself)."""
+    if os.environ.get("SAP3D_CONCAT_SPLIT") == "1":
+        return tuple(xs)
     return jnp.concatenate(list(xs), axis=-1)
 
 
@@ -461,7 +471,7 @@ class GNSAConcat2Decoder(nn.Module):
         dp4 = SelfAttention3D(**kw, name="deconv_pool4_sa")(dp4, train)
         # conv -> dropout -> GN+relu ordering per reference gn/p3d_gn.py:423-425.
         h = _conv(512, 3, dtype=self.dtype, name="conv_concat")(
-            _cat([pool2_sa, dp3, dp4]))
+            jnp.concatenate([pool2_sa, dp3, dp4], axis=-1))
         h = drop(h)
         h = nn.relu(Norm(self.norm_mode, dtype=self.dtype,
                          axis_name=self.axis_name, name="conv_concat_gn")(h, train))

@@ -154,9 +154,27 @@ class ConvNormRelu(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+    def __call__(self, x, train: bool) -> jax.Array:
         kernel = _triple(self.kernel)
         strides = _triple(self.strides)
+        # ``x`` may be a tuple of channel-concat parts (the decoders' lazy
+        # dense-skip concats, models/p3d.py:_cat).  Under
+        # SAP3D_CONCAT_SPLIT=1 the conv runs per part and sums — the concat
+        # tensor never materializes (ops/concat_split.py, exact math, same
+        # params); otherwise concatenate eagerly as before.
+        if isinstance(x, (tuple, list)):
+            if os.environ.get("SAP3D_CONCAT_SPLIT") == "1":
+                from sap3d_tpu.ops.concat_split import SplitConcatConv
+
+                y = SplitConcatConv(
+                    self.features, kernel_size=kernel, strides=strides,
+                    padding="SAME", use_bias=self.use_bias,
+                    kernel_init=glorot(), dtype=self.dtype, name="Conv_0",
+                )(x)
+                y = Norm(self.norm_mode, dtype=self.dtype,
+                         axis_name=self.axis_name)(y, train)
+                return nn.relu(y)
+            x = jnp.concatenate(list(x), axis=-1)
         # Experimental 2-D formulation of the 3-D conv (same params, exact
         # math, ops/conv2d_path.py); opt-in until measured on hardware.
         if os.environ.get("SAP3D_CONV3D_VIA_2D") == "1" and strides[0] == 1:

@@ -41,6 +41,10 @@ run profile_step 3600 $PY scripts/profile_step.py
 run step_via2d 2400 env SAP3D_CONV3D_VIA_2D=1 $PY scripts/profile_step.py full
 run step_default 1200 $PY scripts/profile_step.py full
 
+# 4b. concat-split decoder conv A/B (ops/concat_split.py), alone + combined
+run step_catsplit 1800 env SAP3D_CONCAT_SPLIT=1 $PY scripts/profile_step.py full
+run step_catsplit_via2d 1800 env SAP3D_CONCAT_SPLIT=1 SAP3D_CONV3D_VIA_2D=1 $PY scripts/profile_step.py full
+
 # 5. batch/k sweep (donated)
 run sweep_bench 3600 $PY scripts/sweep_bench.py
 
