@@ -107,6 +107,14 @@ def cmd_train(argv) -> int:
     p.add_argument("--shuffle", type=parse_bool, default=True,
                    help="per-epoch clip shuffle; false = the reference's "
                         "dataflow_list.py no-shuffle variant")
+    p.add_argument("--time-shards", type=int, default=0,
+                   help="long-clip sequence parallelism: shard the clip "
+                        "TIME axis over N devices (requires --videolength "
+                        "to be a multiple of 16*N; single-process; replaces "
+                        "data parallelism)")
+    p.add_argument("--ring-attention", type=parse_bool, default=True,
+                   help="with --time-shards on an SA variant: ring "
+                        "attention across shards instead of all-gather")
     args = p.parse_args(argv)
 
     import jax
@@ -147,6 +155,8 @@ def cmd_train(argv) -> int:
             num_devices=args.devices, info=args.info, sync_bn=args.sync_bn,
             steps_per_call=args.steps_per_call,
             weight_decay=args.weight_decay, max_steps=args.max_steps,
+            time_shards=args.time_shards,
+            ring_attention=args.ring_attention,
         ),
     )
     idx = ClipIndex(
@@ -165,6 +175,8 @@ def cmd_train(argv) -> int:
               "--densities", file=sys.stderr)
         return 2
     n_dev = jax.device_count() if args.devices in (-1, 0) else args.devices
+    if args.time_shards > 1:
+        n_dev = 1  # time mode: the data mesh is a single device group
     if args.batch % max(n_dev, 1) != 0:
         print(f"--batch {args.batch} must divide by the data-parallel mesh "
               f"size {n_dev} (use --devices to shrink the mesh)",

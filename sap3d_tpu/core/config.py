@@ -107,6 +107,15 @@ class TrainConfig:
     # Data-parallel mesh size; 1 = single chip. The reference has no DP at all
     # (reference train.sh runs 3 independent single-GPU processes).
     num_devices: int = -1  # -1 = use all local devices
+    # Long-clip sequence parallelism: shard the clip's TIME axis over this
+    # many devices (core/mesh.make_time_mesh).  0/1 = off.  Mutually
+    # exclusive with data parallelism (the mesh is 1-D over time); the
+    # reference fixes clips at 16 frames (SURVEY.md section 2.9) — this is
+    # the long-context stretch goal's trainer surface.
+    time_shards: int = 0
+    # With time_shards > 1 on an SA variant: run the attention sites as
+    # shard_map rings (ops/ring_attention.py) instead of GSPMD all-gathers.
+    ring_attention: bool = True
     model_dir: str = "./model"
     logs_dir: str = "./logs"
     info: str = ""

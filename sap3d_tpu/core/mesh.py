@@ -108,3 +108,17 @@ def make_time_mesh(num_devices: int = -1, devices=None) -> Mesh:
 def time_sharding(mesh: Mesh) -> NamedSharding:
     """Shard axis 1 (time) of [B, T, H, W, C] clips across TIME_AXIS."""
     return NamedSharding(mesh, P(None, TIME_AXIS))
+
+
+def time_shard_batch(mesh: Mesh, batch, macro: bool = False):
+    """Device-put a pytree of host arrays with the TIME axis sharded.
+
+    Counterpart of shard_batch for long-clip sequence parallelism: frames
+    [B, T, H, W, C] and targets [B, T, H, W] shard on axis 1; macro=True
+    shards axis 2 of [K, B, T, ...] fused-multi-step macro-batches (axis 0
+    is the lax.scan axis, axis 1 the batch).  Single-process only — a
+    multi-host time mesh would need cross-host halo exchanges on DCN, which
+    is not the design point (SURVEY.md section 2.9)."""
+    spec = P(None, None, TIME_AXIS) if macro else P(None, TIME_AXIS)
+    sh = NamedSharding(mesh, spec)
+    return jax.tree.map(lambda x: jax.device_put(np.asarray(x), sh), batch)

@@ -82,6 +82,15 @@ MODEL_REGISTRY: dict[str, dict[str, Any]] = {
         stages=((4, 1), (4, 1), (4, 1)),
         stem_features=4,
     ),
+    # the same, with the flagship's self-attention sites — exercises the
+    # SA/ring code paths (incl. `cli train --time-shards`) at CI scale
+    "p3d_micro_sa": dict(
+        decoder="unetpp",
+        decoder_kwargs=dict(attention="sa", head="ds"),
+        norm_mode="bn",
+        stages=((8, 1), (16, 1), (32, 1)),
+        stem_features=8,
+    ),
 }
 
 # The trainer CLI's --structure values (reference train.py:149-154).
@@ -131,16 +140,21 @@ def build_model(
     dropout_rate: float = 0.5,
     axis_name: str | None = None,
     bn_reference_quirk: bool = False,
+    ring_mesh=None,
 ) -> P3DSaliency:
     """``bn_reference_quirk=True`` reproduces the reference's inference
     behavior exactly: bottleneck BNs normalize with batch statistics even at
     eval, because the reference never forwards its training flag into
     make_block/Bottleneck (reference p3d.py:141,148,290-303).  Needed for
-    output parity with imported TF checkpoints; off by default."""
+    output parity with imported TF checkpoints; off by default.
+
+    ``ring_mesh`` (a core/mesh.make_time_mesh mesh) turns the SA decoders'
+    attention sites into shard_map rings for long-clip sequence parallelism
+    (ops/ring_attention.py); params are identical with and without it."""
     cfg = dict(MODEL_REGISTRY[resolve_name(name)])
     if isinstance(dtype, str):
         dtype = None if dtype in ("float32", "f32") else jnp.dtype(dtype)
     return P3DSaliency(
         **cfg, dropout_rate=dropout_rate, dtype=dtype, axis_name=axis_name,
-        bn_reference_quirk=bn_reference_quirk,
+        bn_reference_quirk=bn_reference_quirk, ring_mesh=ring_mesh,
     )

@@ -67,7 +67,35 @@ class Trainer:
         if cfg.train.debug_nans:
             jax.config.update("jax_debug_nans", True)
 
-        self.mesh = mesh_lib.make_mesh(cfg.train.num_devices)
+        b = cfg.train.batch_size
+        t, s = cfg.data.video_length, cfg.data.image_size
+        # Long-clip mode: a 1-D mesh over the clip's TIME axis instead of
+        # the batch axis (sequence parallelism, SURVEY.md section 2.9's
+        # long-context stretch).  The jitted steps follow the committed
+        # input shardings (no explicit mesh arg); SA variants additionally
+        # run their attention sites as shard_map rings so no [Nq, Nk] block
+        # spans the full clip (ops/ring_attention.py; parity + flagship-
+        # scale memory feasibility in tests/test_ring_attention.py).
+        self.time_shards = int(cfg.train.time_shards or 0)
+        if self.time_shards > 1:
+            if jax.process_count() > 1:
+                raise NotImplementedError(
+                    "--time-shards is single-process: a multi-host time mesh "
+                    "would put temporal halo exchanges on DCN")
+            if self.time_shards > jax.device_count():
+                raise ValueError(
+                    f"--time-shards {self.time_shards} exceeds the "
+                    f"{jax.device_count()} available devices")
+            if t % self.time_shards or (t // 16) % self.time_shards:
+                raise ValueError(
+                    f"--videolength {t} must be a multiple of 16x"
+                    f"--time-shards {self.time_shards} (the encoder pools "
+                    "time by 16; every shard needs >= 1 frame at pool4)")
+            self.time_mesh = mesh_lib.make_time_mesh(self.time_shards)
+        else:
+            self.time_mesh = None
+        self.mesh = mesh_lib.make_mesh(
+            1 if self.time_mesh is not None else cfg.train.num_devices)
         # BN batch stats are ALWAYS global-batch under this trainer: the
         # step is jit+GSPMD with the batch sharded on 'data', so BN's mean/
         # var reductions span the global batch and XLA inserts the
@@ -77,27 +105,40 @@ class Trainer:
         # axis and crashes under jit — sync_bn is therefore an (accepted)
         # no-op knob; axis_name stays available on the modules for
         # shard_map embedders (core/config.py:sync_bn).
-        self.model = build_model(
-            resolve_name(cfg.model.name),
+        model_kw = dict(
             dtype=cfg.model.dtype,
             dropout_rate=cfg.model.dropout,
         )
-        b = cfg.train.batch_size
-        t, s = cfg.data.video_length, cfg.data.image_size
+        self.model = build_model(
+            resolve_name(cfg.model.name),
+            ring_mesh=(self.time_mesh
+                       if self.time_mesh is not None
+                       and cfg.train.ring_attention else None),
+            **model_kw,
+        )
+        # Init with a ring-free twin at the reference clip length: the param
+        # tree is T-invariant and identical with/without ring_mesh
+        # (tests/test_ring_attention.py builds states exactly this way), and
+        # an unsharded eager init at the full long-clip T would materialize
+        # the very activations time sharding exists to split.
+        init_model = (build_model(resolve_name(cfg.model.name), **model_kw)
+                      if self.time_mesh is not None else self.model)
+        t_init = 16 if self.time_mesh is not None else t
         self.state = create_train_state(
-            self.model,
+            init_model,
             jax.random.PRNGKey(cfg.train.seed),
-            input_shape=(b, t, s, s, 3),
+            input_shape=(b, t_init, s, s, 3),
             lr=cfg.train.lr,
             weight_decay=cfg.train.weight_decay,
         )
         self.steps_per_call = max(1, cfg.train.steps_per_call)
+        step_mesh = None if self.time_mesh is not None else self.mesh
         if self.steps_per_call > 1:
             self.multi_step = make_multi_train_step(
-                self.model, self.steps_per_call, mesh=self.mesh
+                self.model, self.steps_per_call, mesh=step_mesh
             )
-        self.train_step = make_train_step(self.model, mesh=self.mesh)
-        self.eval_step = make_eval_step(self.model, mesh=self.mesh)
+        self.train_step = make_train_step(self.model, mesh=step_mesh)
+        self.eval_step = make_eval_step(self.model, mesh=step_mesh)
         self.ckpt = CheckpointManager(self.model_dir, cfg.train.max_to_keep)
         # Multi-host: every process runs the identical compute (collectives
         # need all participants, checkpoint saves are collective), but only
@@ -185,10 +226,17 @@ class Trainer:
         first and pay an extra device-to-device scatter (and, multi-host, a
         D2H round trip inside make_array_from_process_local_data)."""
         k, frames, targets = item
-        f, t = mesh_lib.shard_batch(self.mesh, (frames, targets),
-                                    macro=(k > 1))
+        f, t = self._put((frames, targets), macro=(k > 1))
         n_clips = frames.shape[0] * (frames.shape[1] if k > 1 else 1)
         return k, f, t, targets, n_clips
+
+    def _put(self, batch, macro: bool = False):
+        """Sharded device_put: batch axis on the data mesh, or time axis on
+        the time mesh in long-clip mode."""
+        if self.time_mesh is not None:
+            return mesh_lib.time_shard_batch(self.time_mesh, batch,
+                                             macro=macro)
+        return mesh_lib.shard_batch(self.mesh, batch, macro=macro)
 
     def _device_prefetch(self, it: Iterable, depth: int = 1):
         """Double-buffer host->device transfers.
@@ -283,7 +331,7 @@ class Trainer:
         ccs, sims, klds, aucs = [], [], [], []
         jitter_key = jax.random.PRNGKey(step)
         for bi, (frames, targets) in enumerate(valid_batches):
-            f = mesh_lib.shard_batch(self.mesh, np.asarray(frames))
+            f = self._put(np.asarray(frames))
             # local rows only: on a multi-host mesh the global pred spans
             # non-addressable devices; each host scores its own loader rows
             # and the lists are all-gathered below.  The time axis is sliced

@@ -103,3 +103,82 @@ def test_time_sharded_gradients():
     finally:
         jax.config.update("jax_enable_x64", False)
     assert_grads_match(g_sh, g_ref, g_hi)
+
+
+def test_trainer_time_mode_matches_unsharded(tmp_path):
+    """The trainer's --time-shards path (core/config.TrainConfig.time_shards):
+    a 2-shard time-mesh run with ring attention must reproduce the unsharded
+    single-device loss trajectory (dropout off) and leave a loadable
+    checkpoint.  This is the CLI-facing integration of what the op/step
+    tests above prove in isolation."""
+    import json
+    import os
+
+    from sap3d_tpu.core.config import (
+        Config,
+        DataConfig,
+        ModelConfig,
+        TrainConfig,
+    )
+    from sap3d_tpu.train.trainer import Trainer
+
+    T, S, B, steps = 32, 16, 2, 3
+    rng = np.random.default_rng(7)
+    batches = [
+        (
+            (rng.normal(size=(B, T, S, S, 3)) * 0.3).astype(np.float32),
+            rng.random((B, T, S, S)).astype(np.float32),
+        )
+        for _ in range(steps)
+    ]
+
+    def run(tag: str, time_shards: int) -> list[float]:
+        cfg = Config(
+            model=ModelConfig(name="p3d_micro_sa", dtype="float32",
+                              dropout=0.0),
+            data=DataConfig(video_length=T, image_size=S),
+            train=TrainConfig(
+                batch_size=B, max_steps=steps, num_devices=1,
+                time_shards=time_shards, ring_attention=True,
+                plot_iter=10**6, valid_iter=10**9, save_iter=10**9,
+                model_dir=str(tmp_path / tag / "model"),
+                logs_dir=str(tmp_path / tag / "logs"),
+            ),
+        )
+        tr = Trainer(cfg, run=tag)
+        try:
+            tr.fit(iter(batches))
+        finally:
+            tr.close()
+        with open(os.path.join(tr.logs_dir, "metrics.jsonl")) as f:
+            losses = [json.loads(ln)["loss"] for ln in f
+                      if "loss" in json.loads(ln)]
+        assert os.listdir(tr.model_dir), "no checkpoint written"
+        return losses
+
+    base = run("base", time_shards=0)
+    tsh = run("tsharded", time_shards=2)
+    assert len(base) == steps and len(tsh) == steps
+    np.testing.assert_allclose(tsh, base, rtol=5e-4)
+
+
+def test_trainer_time_mode_guards():
+    """Bad time-shard configs fail loudly, not with a wedged mesh."""
+    import pytest
+
+    from sap3d_tpu.core.config import Config, DataConfig, ModelConfig, TrainConfig
+    from sap3d_tpu.train.trainer import Trainer
+
+    def cfg(time_shards, t):
+        return Config(
+            model=ModelConfig(name="p3d_micro_sa", dtype="float32"),
+            data=DataConfig(video_length=t, image_size=16),
+            train=TrainConfig(batch_size=1, time_shards=time_shards,
+                              model_dir="/tmp/_tsg/model",
+                              logs_dir="/tmp/_tsg/logs"),
+        )
+
+    with pytest.raises(ValueError, match="multiple of 16"):
+        Trainer(cfg(time_shards=4, t=32), run="g1")
+    with pytest.raises(ValueError, match="exceeds"):
+        Trainer(cfg(time_shards=64, t=64 * 16), run="g2")
