@@ -147,35 +147,41 @@ def bench_infer(batch: int):
     return batch / sec_per_call, mfu
 
 
-def _probe_devices(timeout_s: float) -> bool:
-    """True iff jax.devices() completes in a bounded subprocess.
+def _probe_devices(timeout_s: float) -> str | None:
+    """None if jax.devices() completes in a bounded subprocess, else a
+    human-readable failure reason.
 
     When the axon relay tunnel is down, jax.devices() BLOCKS indefinitely
     (observed 2026-08-17: the relay listener vanished for 8+ hours) — a
     hang here would stall the driver's end-of-round bench run, so probe in
-    a killable child first and fail fast with an honest error record.
+    a killable child first and fail fast with an honest error record.  A
+    child that CRASHES (import error, libtpu contention, ...) is reported
+    as a crash with its stderr, not blamed on the tunnel.
     """
     try:
         r = subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, capture_output=True,
+            timeout=timeout_s, capture_output=True, text=True,
         )
-        return r.returncode == 0
     except subprocess.TimeoutExpired:
-        return False
+        return (f"device acquisition did not complete in {timeout_s:.0f}s "
+                "(relay tunnel down?)")
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()[-3:]
+        return (f"device probe exited {r.returncode}: " + " | ".join(tail))
+    return None
 
 
 def main():
     probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
-    if not _probe_devices(probe_timeout):
+    reason = _probe_devices(probe_timeout)
+    if reason is not None:
         print(json.dumps({
             "metric": "train clips/sec/chip (16-frame, p3d_unetplusplus_ds)",
             "value": 0.0,
             "unit": "clips/sec",
             "vs_baseline": 0.0,
-            "error": "TPU unreachable (device acquisition did not complete "
-                     f"in {probe_timeout:.0f}s; relay tunnel down) — no "
-                     "measurement taken",
+            "error": f"TPU unreachable — no measurement taken: {reason}",
         }))
         raise SystemExit(2)
     platform = jax.devices()[0].platform

@@ -241,8 +241,10 @@ def _cat(xs: Sequence[jax.Array]):
     Under SAP3D_CONCAT_SPLIT=1 the parts are handed to ConvNormRelu
     unconcatenated and the conv runs split-and-summed per part
     (ops/concat_split.py) — the concat tensor never materializes in HBM.
-    Every _cat consumer is a ConvNormRelu (the one plain-conv site,
-    GNSAConcat2Decoder, concatenates eagerly itself)."""
+    CONTRACT: every _cat consumer must be a ConvNormRelu (the only module
+    that accepts a parts tuple).  Sites feeding anything else — the plain
+    conv in GNSAConcat2Decoder, UNetDecoder's transpose convs — call
+    jnp.concatenate eagerly themselves."""
     if os.environ.get("SAP3D_CONCAT_SPLIT") == "1":
         return tuple(xs)
     return jnp.concatenate(list(xs), axis=-1)
@@ -265,12 +267,14 @@ class UNetDecoder(nn.Module):
     def __call__(self, feats, train: bool) -> jax.Array:
         kw = dict(norm_mode=self.norm_mode, dtype=self.dtype,
                   axis_name=self.axis_name)
+        # eager concats: these feed TransposeConvNormRelu, which (unlike
+        # ConvNormRelu) has no split-conv path — see _cat's contract
         d1 = TransposeConvNormRelu(512, (1, 3, 3), 2, **kw, name="deconv1")(
             feats["pool4"], train)
         d2 = TransposeConvNormRelu(256, (2, 3, 3), 2, **kw, name="deconv2")(
-            _cat([d1, feats["pool3"]]), train)
+            jnp.concatenate([d1, feats["pool3"]], axis=-1), train)
         d3 = TransposeConvNormRelu(128, 3, 2, **kw, name="deconv3")(
-            _cat([d2, feats["pool2"]]), train)
+            jnp.concatenate([d2, feats["pool2"]], axis=-1), train)
         d3 = nn.Dropout(self.dropout_rate, deterministic=not train)(d3)
         h = _conv(32, 1, dtype=self.dtype, name="head_conv")(d3)
         out = _tconv(1, 3, 2, dtype=self.dtype, name="head_tconv")(h)
@@ -581,8 +585,13 @@ class P3DSaliency(nn.Module):
         )(x, train)
         dec_cls = _DECODERS[self.decoder]
         extra = {}
-        if self.ring_mesh is not None:
-            extra["ring_mesh"] = self.ring_mesh  # SA-capable decoders only
+        # Only the SA-capable decoder declares a ring_mesh field; for the
+        # rest, long-clip time sharding falls back to the GSPMD gather path
+        # (which tests/test_time_parallel.py proves correct) instead of
+        # crashing on an unknown kwarg.
+        if (self.ring_mesh is not None
+                and "ring_mesh" in dec_cls.__dataclass_fields__):
+            extra["ring_mesh"] = self.ring_mesh
         out = dec_cls(
             **(self.decoder_kwargs or {}),
             **extra,

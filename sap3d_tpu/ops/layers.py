@@ -162,27 +162,23 @@ class ConvNormRelu(nn.Module):
         # SAP3D_CONCAT_SPLIT=1 the conv runs per part and sums — the concat
         # tensor never materializes (ops/concat_split.py, exact math, same
         # params); otherwise concatenate eagerly as before.
-        if isinstance(x, (tuple, list)):
-            if os.environ.get("SAP3D_CONCAT_SPLIT") == "1":
-                from sap3d_tpu.ops.concat_split import SplitConcatConv
+        if isinstance(x, (tuple, list)) \
+                and os.environ.get("SAP3D_CONCAT_SPLIT") == "1":
+            from sap3d_tpu.ops.concat_split import SplitConcatConv
 
-                y = SplitConcatConv(
-                    self.features, kernel_size=kernel, strides=strides,
-                    padding="SAME", use_bias=self.use_bias,
-                    kernel_init=glorot(), dtype=self.dtype, name="Conv_0",
-                )(x)
-                y = Norm(self.norm_mode, dtype=self.dtype,
-                         axis_name=self.axis_name)(y, train)
-                return nn.relu(y)
-            x = jnp.concatenate(list(x), axis=-1)
-        # Experimental 2-D formulation of the 3-D conv (same params, exact
-        # math, ops/conv2d_path.py); opt-in until measured on hardware.
-        if os.environ.get("SAP3D_CONV3D_VIA_2D") == "1" and strides[0] == 1:
-            from sap3d_tpu.ops.conv2d_path import Conv3DVia2D
-
-            conv_cls = functools.partial(Conv3DVia2D, name="Conv_0")
+            conv_cls = SplitConcatConv
         else:
-            conv_cls = nn.Conv
+            if isinstance(x, (tuple, list)):
+                x = jnp.concatenate(list(x), axis=-1)
+            # Experimental 2-D formulation of the 3-D conv (same params,
+            # exact math, ops/conv2d_path.py); opt-in until measured.
+            if os.environ.get("SAP3D_CONV3D_VIA_2D") == "1" \
+                    and strides[0] == 1:
+                from sap3d_tpu.ops.conv2d_path import Conv3DVia2D
+
+                conv_cls = Conv3DVia2D
+            else:
+                conv_cls = nn.Conv
         x = conv_cls(
             self.features,
             kernel_size=kernel,
@@ -191,6 +187,7 @@ class ConvNormRelu(nn.Module):
             use_bias=self.use_bias,
             kernel_init=glorot(),
             dtype=self.dtype,
+            name="Conv_0" if conv_cls is not nn.Conv else None,
         )(x)
         x = Norm(self.norm_mode, dtype=self.dtype, axis_name=self.axis_name)(x, train)
         return nn.relu(x)

@@ -86,7 +86,7 @@ class Trainer:
                 raise ValueError(
                     f"--time-shards {self.time_shards} exceeds the "
                     f"{jax.device_count()} available devices")
-            if t % self.time_shards or (t // 16) % self.time_shards:
+            if t % (16 * self.time_shards):
                 raise ValueError(
                     f"--videolength {t} must be a multiple of 16x"
                     f"--time-shards {self.time_shards} (the encoder pools "
@@ -116,6 +116,12 @@ class Trainer:
                        and cfg.train.ring_attention else None),
             **model_kw,
         )
+        if (self.time_mesh is not None and cfg.train.ring_attention
+                and self.model.decoder != "unetpp"):
+            # P3DSaliency only threads ring_mesh into SA-capable decoders;
+            # everything else takes the (correct) GSPMD gather path.
+            print(f"[time-shards] decoder '{self.model.decoder}' has no "
+                  "ring-attention sites; using the GSPMD gather path")
         # Init with a ring-free twin at the reference clip length: the param
         # tree is T-invariant and identical with/without ring_mesh
         # (tests/test_ring_attention.py builds states exactly this way), and

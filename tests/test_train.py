@@ -198,21 +198,44 @@ def test_multi_step_gn_family(batch):
 def test_multi_step_donated_completes_on_cpu():
     """Donated-input lax.scan programs hang at execution on XLA:CPU (jax
     0.8); the step factories disable donation on the CPU backend, so the
-    production default (donate=True) must complete here."""
-    import numpy as np
+    production default (donate=True) must complete.  The guarded failure
+    mode is a HANG, so the step runs in a bounded subprocess — if the
+    guard regresses, this test fails with a timeout instead of wedging the
+    suite forever."""
+    import os
+    import subprocess
+    import sys
 
-    from sap3d_tpu.models.registry import build_model
-    from sap3d_tpu.train.state import create_train_state
-    from sap3d_tpu.train.steps import make_multi_train_step
+    script = """
+import jax, numpy as np
+jax.config.update("jax_platforms", "cpu")
+from sap3d_tpu.models.registry import build_model
+from sap3d_tpu.train.state import create_train_state
+from sap3d_tpu.train.steps import make_multi_train_step
 
-    model = build_model("p3d_micro", dtype="float32")
-    k, b = 2, 2
-    shape = (k, b, 16, 16, 16, 3)
-    rng = np.random.default_rng(0)
-    frames = np.asarray(rng.normal(size=shape), np.float32)
-    targets = np.asarray(rng.random(shape[:-1]), np.float32)
-    state = create_train_state(model, jax.random.PRNGKey(0),
-                               input_shape=shape[1:])
-    step = make_multi_train_step(model, k, donate=True)
-    state, losses = step(state, frames, targets, jax.random.PRNGKey(1))
-    assert np.isfinite(float(losses[-1]))
+model = build_model("p3d_micro", dtype="float32")
+k, b = 2, 2
+shape = (k, b, 16, 16, 16, 3)
+rng = np.random.default_rng(0)
+frames = np.asarray(rng.normal(size=shape), np.float32)
+targets = np.asarray(rng.random(shape[:-1]), np.float32)
+state = create_train_state(model, jax.random.PRNGKey(0),
+                           input_shape=shape[1:])
+step = make_multi_train_step(model, k, donate=True)
+state, losses = step(state, frames, targets, jax.random.PRNGKey(1))
+assert np.isfinite(float(losses[-1]))
+print("DONATED_OK")
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo, JAX_PLATFORMS="cpu")
+    env.pop("PYTEST_CURRENT_TEST", None)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", script], env=env, timeout=600,
+            capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        pytest.fail("donated multi-step hung on XLA:CPU — the "
+                    "_donation_supported() guard has regressed")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "DONATED_OK" in r.stdout
