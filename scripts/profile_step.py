@@ -46,9 +46,14 @@ def data():
 
 def chained_state(step, state0, frames, targets, n_small=3, n_large=10):
     key = jax.random.PRNGKey(1)
+    # step donates its state input, so every timing run must start from a
+    # FRESH device copy — reusing state0 directly would access deleted
+    # buffers on the second run (same scheme as bench.py's bench_train; the
+    # constant per-run copy cost cancels in the N-differencing).
+    copy_state = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
 
     def run(n):
-        state = state0
+        state = copy_state(state0)
         out = None
         for _ in range(n):
             state, out = step(state, frames, targets, key)
