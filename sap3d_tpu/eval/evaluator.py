@@ -115,9 +115,12 @@ def _video_frame_pairs(
 def _fixation_union(
     pairs: list[tuple[str, str, str | None]], max_frames: int = 20
 ) -> np.ndarray | None:
-    """OR of up to max_frames of a video's fixation maps (native resolution);
-    the negative-sample pool for shuffled AUC (reference metrics.py:157-197
-    draws negatives from fixations on OTHER images)."""
+    """OR of up to max_frames EVENLY-STRIDED fixation maps of a video
+    (native resolution); the negative-sample pool for shuffled AUC
+    (reference metrics.py:157-197 draws negatives from fixations on OTHER
+    images).  Documented deviation (PARITY.md §2.7): the reference pools
+    every frame; the strided union differs by <2e-4 shuffled-AUC on the
+    synthetic fixture because the union saturates after a few frames."""
     fix_paths = [fp for _, _, fp in pairs if fp is not None]
     if not fix_paths:
         return None
@@ -178,6 +181,7 @@ def _score_video_device(
     rng: np.random.Generator,
     other_union: np.ndarray | None = None,
     batch: int = 32,
+    stats: dict[str, int] | None = None,
 ) -> dict[str, float]:
     """One video's scores with the metric math on the accelerator.
 
@@ -197,6 +201,11 @@ def _score_video_device(
 
     key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
     scores: dict[str, list] = {m: [] for m in metrics}
+    if stats is None:
+        stats = {}
+    for k in ("judd_frames", "judd_dense_device",
+              "borji_frames", "borji_host_fallback"):
+        stats.setdefault(k, 0)
     want_fix = {"nss", "auc_judd", "auc_borji", "auc_shuffled"} & set(metrics)
     other_cache: dict[tuple, tuple[np.ndarray, int]] = {}
 
@@ -271,20 +280,44 @@ def _score_video_device(
                 if {"auc_judd", "auc_borji"} & set(metrics):
                     pred_cubic = resize_stack(
                         [preds[j] for j in idxs], tgt_b, cv2.INTER_CUBIC)
-                    # frames whose active-pixel count exceeds the device
-                    # sweep cap (dense density-map targets) score on host —
-                    # the device kernel would return NaN there
+                    # frames whose active-pixel count exceeds the default
+                    # device sweep cap (dense density-map targets on the
+                    # auc_judd fallback path) are re-swept ON DEVICE with a
+                    # raised, pow2-padded cap — not silently on host
                     active = (tgt_arr > 0.5).sum(axis=(1, 2))
                     over = active > min(4096, tgt_arr[0].size)
                     if "auc_judd" in metrics:
+                        stats["judd_frames"] += len(idxs)
                         v = np.asarray(MJ.auc_judd(pred_cubic, tgt_arr, k1))
-                        v = [
-                            M.AUC_Judd(pred_cubic[b], tgt_arr[b], rng=rng)
-                            if over[b] else float(v[b])
-                            for b in range(len(idxs))
-                        ]
-                        scores["auc_judd"] += v
+                        out = [float(x) for x in v]
+                        over_idx = np.flatnonzero(over)
+                        if over_idx.size:
+                            # pow2 cap bounds jit recompiles; chunk so the
+                            # [N, cap] sweep arrays stay <= ~32MB
+                            m = int(active[over_idx].max())
+                            dense_cap = min(
+                                1 << max(m - 1, 1).bit_length(),
+                                int(tgt_arr[0].size),
+                            )
+                            step = max(1, (1 << 23) // dense_cap)
+                            for c0 in range(0, over_idx.size, step):
+                                sel = over_idx[c0:c0 + step]
+                                key, kd = jax.random.split(key)
+                                vd = np.asarray(MJ.auc_judd(
+                                    pred_cubic[sel], tgt_arr[sel], kd,
+                                    fix_cap=dense_cap))
+                                for b, x in zip(sel, vd):
+                                    out[b] = float(x)
+                            stats["judd_dense_device"] += int(over_idx.size)
+                        scores["auc_judd"] += out
                     if "auc_borji" in metrics:
+                        # real fixation maps are sparse, so over-cap Borji
+                        # frames are rare; the sampled-negative sweep's
+                        # [N, R, cap] memory makes a raised device cap
+                        # uneconomical — fall back to host, but COUNT it
+                        stats["borji_frames"] += int(has_fix.sum())
+                        stats["borji_host_fallback"] += int(
+                            (over & has_fix).sum())
                         v = np.asarray(MJ.auc_borji(pred_cubic, tgt_arr, k2))
                         scores["auc_borji"] += [
                             (M.AUC_Borji(pred_cubic[b], tgt_arr[b], rng=rng)
@@ -361,11 +394,21 @@ def evaluate_saliency_dirs(
     child_rngs = [np.random.default_rng(s) for s in rng.spawn(len(vdirs))] \
         if vdirs else []
     if device:
-        return {
-            v: _score_video_device(pairs, metrics, crng, other)
+        stats: dict[str, int] = {}
+        result = {
+            v: _score_video_device(pairs, metrics, crng, other, stats=stats)
             for v, pairs, crng, other in zip(
                 vnames, all_pairs, child_rngs, others)
         }
+        if stats.get("judd_dense_device") or stats.get("borji_host_fallback"):
+            print(
+                "[eval-dirs --device] dense targets: "
+                f"{stats['judd_dense_device']}/{stats['judd_frames']} "
+                "AUC-Judd frames re-swept on device with a raised cap; "
+                f"{stats['borji_host_fallback']}/{stats['borji_frames']} "
+                "AUC-Borji frames used the host sweep"
+            )
+        return result
     if workers is None:
         workers = min(8, os.cpu_count() or 1)
     from concurrent.futures import ThreadPoolExecutor

@@ -150,7 +150,10 @@ def auc_judd(pred: jax.Array, fixations: jax.Array,
     tp = jnp.concatenate([zeros, tp, ones], axis=1)
     fp = jnp.concatenate([zeros, fp, ones], axis=1)
     auc = _trapz_rows(tp, fp)
-    return jnp.where((n_fix > 0) & (n_fix <= cap), auc, jnp.nan)
+    # n_fix < p: a frame where every pixel is a fixation has a zero
+    # false-positive denominator — the host AUC_Judd yields NaN there and
+    # the NaN-filter drops it; match that instead of returning ~1.0.
+    return jnp.where((n_fix > 0) & (n_fix <= cap) & (n_fix < p), auc, jnp.nan)
 
 
 def _range_normalize_rows(pred: jax.Array):

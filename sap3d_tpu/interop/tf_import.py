@@ -48,6 +48,7 @@ names) instead of surfacing only as missing flax keys.
 from __future__ import annotations
 
 import dataclasses
+import re
 from typing import Callable, Iterator
 
 import numpy as np
@@ -451,11 +452,15 @@ def map_tf_variables(model_name: str, tf_vars: dict[str, np.ndarray]) -> dict:
 def _is_non_model_variable(name: str) -> bool:
     """TF optimizer slots / trainer bookkeeping that legitimately live in
     reference checkpoints alongside the model weights
-    (reference train.py:168-185: AdamOptimizer slots + Saver)."""
+    (reference train.py:168-185: AdamOptimizer slots + Saver).
+
+    Matched by pattern, not exact name: a re-instantiated optimizer in the
+    same graph auto-numbers its slots (Adam_2/Adam_3, beta1_power_1, ...),
+    and Momentum / EMA shadows are equally benign bookkeeping."""
     last = name.rsplit("/", 1)[-1]
-    return (
-        last in ("Adam", "Adam_1")
-        or name in ("beta1_power", "beta2_power", "global_step")
+    return bool(
+        re.fullmatch(r"Adam(_\d+)?|Momentum(_\d+)?|ExponentialMovingAverage", last)
+        or re.fullmatch(r"beta[12]_power(_\d+)?|global_step", name)
     )
 
 

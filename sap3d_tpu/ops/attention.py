@@ -203,6 +203,9 @@ class SelfAttention3D(nn.Module):
                 and flash_attention_viable(
                     q_t.shape[1], k_t.shape[1], q_t.shape[2], v_t.shape[2],
                     itemsize=q_t.dtype.itemsize,
+                    # inference-only traces never run the kernel backward,
+                    # so borderline sites need only fit the forward budget
+                    training=train,
                 )
             )
         if use_pallas:

@@ -30,6 +30,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_Q = 256
+# Sublane replication factor of the saved lse rows (one full sublane tile),
+# required for a Mosaic-legal [1, 8, BLOCK_Q] output block — see _fwd_kernel.
+LSE_SUBLANES = 8
 # Leave headroom under the ~16MB/core VMEM for double buffering.
 VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 # The backward's footprint is modeled more tightly (no blanket 2x factor:
@@ -59,11 +62,17 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
     o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
     o_ref[0] = o.astype(o_ref.dtype)
     if lse_ref is not None:
-        # lse is stored 2-D [b, nq] (block [1, BQ]): a trailing size-1 dim
-        # would be lane-padded to 128 by the TPU tiled layout, making the
-        # saved-residual HBM traffic 128x larger (~200MB/step at the x_1_3
-        # site).  The [BQ, 1] -> [BQ] relayout here is a single in-VMEM op.
-        lse_ref[0] = jnp.squeeze(m + jnp.log(l), -1)  # [BQ]
+        # lse is stored [b, LSE_SUBLANES, nq] (block [1, 8, BQ]): a trailing
+        # size-1 dim would be lane-padded to 128 by the TPU tiled layout
+        # (~200MB/step extra residual traffic at the x_1_3 site), and a bare
+        # 2-D [b, nq] block (1, BQ) violates the Mosaic tiling rule (the
+        # sublane block dim must be divisible by 8 or equal the array dim —
+        # it mis-tiled on real hardware, r3 queue log).  Replicating the row
+        # across the 8 sublanes of one tile keeps the layout legal at 8x the
+        # bare-row bytes (16x less than lane padding); the [BQ, 1] -> [1, BQ]
+        # relayout is a single in-VMEM transpose.
+        row = jnp.transpose(m + jnp.log(l))  # [1, BQ]
+        lse_ref[0] = jnp.broadcast_to(row, (LSE_SUBLANES, row.shape[1]))
 
 
 def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -80,9 +89,10 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array,
     out_specs = [pl.BlockSpec((1, BLOCK_Q, c), lambda bi, qi: (bi, qi, 0),
                               memory_space=pltpu.VMEM)]
     if want_lse:
-        out_shape.append(jax.ShapeDtypeStruct((b, nq_p), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, BLOCK_Q),
-                                      lambda bi, qi: (bi, qi),
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, LSE_SUBLANES, nq_p), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, LSE_SUBLANES, BLOCK_Q),
+                                      lambda bi, qi: (bi, 0, qi),
                                       memory_space=pltpu.VMEM))
         kernel = _fwd_kernel
     else:
@@ -110,7 +120,7 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array,
     if not want_lse:
         return res[:, :nq], None
     out, lse = res
-    return out[:, :nq], lse[:, :nq]  # lse [b, nq]
+    return out[:, :nq], lse[:, :, :nq]  # lse [b, LSE_SUBLANES, nq]
 
 
 # Backward uses smaller query blocks: three [BQ, Nk] fp32 intermediates plus
@@ -142,7 +152,9 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     v = v_ref[0]
     do = do_ref[0]
     o = o_ref[0]
-    lse = lse_ref[0][:, None]  # [BQ] (2-D dense layout) -> [BQ, 1]
+    # lse block [LSE_SUBLANES, BQ]: every sublane holds the same row (see
+    # _fwd_kernel); transpose one row back to the [BQ, 1] broadcast shape.
+    lse = jnp.transpose(lse_ref[0][:1, :])  # [BQ, 1]
 
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -189,7 +201,8 @@ def _flash_backward(q, k, v, do, o, lse):
         o = jnp.pad(o, ((0, 0), (0, pad), (0, 0)))
         # padded rows: exp(0 - 0) = 1 would poison dk/dv sums; push lse to
         # +inf so p = exp(-inf) = 0 there
-        lse = jnp.pad(lse, ((0, 0), (0, pad)), constant_values=jnp.inf)
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, pad)),
+                      constant_values=jnp.inf)
     nq_p = q.shape[1]
     grid = (b, nq_p // BLOCK_Q_BWD)
 
@@ -212,7 +225,8 @@ def _flash_backward(q, k, v, do, o, lse):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BLOCK_Q_BWD, c), lambda bi, qi: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q_BWD), lambda bi, qi: (bi, qi),
+            pl.BlockSpec((1, LSE_SUBLANES, BLOCK_Q_BWD),
+                         lambda bi, qi: (bi, 0, qi),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -257,14 +271,17 @@ flash_attend_tokens.defvjp(_fwd_rule, _bwd_rule)
 
 
 def flash_attention_viable(
-    nq: int, nk: int, d: int, c: int, itemsize: int = 4
+    nq: int, nk: int, d: int, c: int, itemsize: int = 4,
+    training: bool = True,
 ) -> bool:
     """Whole-k/v-in-VMEM check for the kernel's blocking scheme.
 
     Models BOTH the forward and the backward footprints (the backward holds
     three [BLOCK_Q_BWD, Nk] fp32 intermediates plus fp32 dk/dv accumulators
     resident in VMEM, so shapes can pass the forward gate yet only blow VMEM
-    in the backward)."""
+    in the backward).  Pass ``training=False`` for inference-only callers
+    (eval/predict): only the forward budget applies there, so borderline
+    sites within ~1% of the backward budget still take the fast kernel."""
     fwd = (
         nk * d * itemsize  # k
         + nk * c * itemsize  # v
@@ -284,7 +301,7 @@ def flash_attention_viable(
     )
     return (
         fwd * 2 <= VMEM_BUDGET_BYTES
-        and bwd <= VMEM_BUDGET_BWD_BYTES
+        and (not training or bwd <= VMEM_BUDGET_BWD_BYTES)
         and nq >= BLOCK_Q
     )
 

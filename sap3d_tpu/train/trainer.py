@@ -21,6 +21,7 @@ import datetime
 import json
 import os
 import time
+import warnings
 from typing import Iterable
 
 import jax
@@ -105,6 +106,16 @@ class Trainer:
         # axis and crashes under jit — sync_bn is therefore an (accepted)
         # no-op knob; axis_name stays available on the modules for
         # shard_map embedders (core/config.py:sync_bn).
+        if cfg.train.sync_bn:
+            warnings.warn(
+                "--sync-bn has no effect: BN statistics are ALWAYS "
+                "global-batch under this trainer's jit+GSPMD step (XLA "
+                "inserts the cross-device reductions), which is what "
+                "sync-BN asks for.  The reference's per-GPU-stats BN "
+                "(train.py UPDATE_OPS) is deliberately NOT reproduced; "
+                "see docs/DESIGN.md 'Batch statistics'.",
+                stacklevel=2,
+            )
         model_kw = dict(
             dtype=cfg.model.dtype,
             dropout_rate=cfg.model.dropout,
@@ -374,6 +385,12 @@ class Trainer:
             "sim": host_metrics.nan_filtered_mean(sims),
             "kld": host_metrics.nan_filtered_mean(klds),
             "auc_judd": host_metrics.nan_filtered_mean(aucs),
+            # implementation tag: the device sweep (float32, 1e-4 jitter,
+            # full-pixel cap) scores match the host float64 sweep only in
+            # distribution — curve comparisons against pre-r03 runs (which
+            # logged the host implementation) should not be read as model
+            # changes.  See PARITY.md §2.7.
+            "auc_impl": "device_sweep_v1",
         }
         print(
             f"[valid] step {step} CC {result['cc']:.4f} SIM {result['sim']:.4f} "

@@ -87,7 +87,27 @@ def main():
             dt = time.perf_counter() - t0
             print(f"{label}: {n_total} frames in {dt:.2f}s = "
                   f"{n_total / dt:.1f} frames/s  "
-                  f"(mean cc {np.nanmean([r['cc'] for r in res.values()]):.3f})")
+                  f"(mean cc {np.nanmean([r['cc'] for r in res.values()]):.3f})",
+                  flush=True)
+
+        # dense-target path: no fixation root -> auc_judd falls back to the
+        # density map itself, whose active-pixel count exceeds the default
+        # sweep cap — exercises the raised-cap device re-sweep
+        # (eval/evaluator.py:_score_video_device) vs the host loop
+        if "auc_judd" in args.metrics:
+            for label, kw in (("dense-gt host workers=auto", dict()),
+                              ("dense-gt device (warmup)", dict(device=True)),
+                              ("dense-gt device", dict(device=True))):
+                t0 = time.perf_counter()
+                res = evaluate_saliency_dirs(
+                    str(root / "pred"), str(root / "density"), None,
+                    tuple(args.metrics), rng=np.random.default_rng(0), **kw,
+                )
+                dt = time.perf_counter() - t0
+                print(f"{label}: {n_total} frames in {dt:.2f}s = "
+                      f"{n_total / dt:.1f} frames/s  (mean auc "
+                      f"{np.nanmean([r['auc_judd'] for r in res.values()]):.3f})",
+                      flush=True)
 
 
 if __name__ == "__main__":

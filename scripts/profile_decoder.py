@@ -47,20 +47,21 @@ def conv_site(name, in_shape, cout, kernel, strides=(1, 1, 1), batch=16,
     w = jnp.asarray(rng.normal(size=kernel + (cin, cout)) * 0.02, jnp.bfloat16)
 
     if transpose:
+        # no preferred_element_type: with bf16 operands this jax version
+        # builds a mismatched-dtype conv in the VJP (bf16 kernel vs f32
+        # cotangent); the MXU accumulates fp32 internally regardless
         @jax.jit
         def f(w, x):
             return jax.lax.conv_transpose(
                 x, w, strides, "SAME",
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                preferred_element_type=jnp.float32).astype(x.dtype)
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
         out_sp = tuple(s * st for s, st in zip(in_shape[:-1], strides))
     else:
         @jax.jit
         def f(w, x):
             return jax.lax.conv_general_dilated(
                 x, w, strides, "SAME",
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                preferred_element_type=jnp.float32).astype(x.dtype)
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
         out_sp = tuple(-(-s // st) for s, st in zip(in_shape[:-1], strides))
 
     taps = int(np.prod(kernel))

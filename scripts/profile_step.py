@@ -93,7 +93,7 @@ def make_step(model, optimizer=True):
 def timed(name, model, optimizer=True):
     frames, targets = data()
     state = create_train_state(model, jax.random.PRNGKey(0),
-                               input_shape=SHAPE[1:])
+                               input_shape=SHAPE)
     ms = chained_state(make_step(model, optimizer), state, frames, targets)
     print(f"{name:22s} {ms:8.2f} ms/step   {BATCH / ms * 1e3:6.1f} clips/s",
           flush=True)
@@ -103,7 +103,7 @@ def timed(name, model, optimizer=True):
 def fwd_only(model):
     frames, _ = data()
     state = create_train_state(model, jax.random.PRNGKey(0),
-                               input_shape=SHAPE[1:])
+                               input_shape=SHAPE)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     key = fast_dropout_key(jax.random.PRNGKey(1))
 

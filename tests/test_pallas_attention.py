@@ -47,8 +47,13 @@ def test_flash_forward_matches_reference(b, nq, nk, d, c):
                   np.asarray(k, np.float64))
     want_lse = np.log(np.exp(s - s.max(-1, keepdims=True)).sum(-1)) + \
         s.max(-1)
-    assert lse.shape == (b, nq)  # 2-D: a trailing 1-dim would be lane-padded
-    np.testing.assert_allclose(np.asarray(lse), want_lse,
+    # [b, 8, nq]: sublane-replicated row — a trailing 1-dim would be
+    # lane-padded to 128 and a bare (1, BQ) block mis-tiles on hardware
+    assert lse.shape == (b, 8, nq)
+    np.testing.assert_array_equal(
+        np.asarray(lse),
+        np.broadcast_to(np.asarray(lse[:, :1]), lse.shape))  # replicated
+    np.testing.assert_allclose(np.asarray(lse[:, 0]), want_lse,
                                rtol=1e-4, atol=1e-4)
 
 
