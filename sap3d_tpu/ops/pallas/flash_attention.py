@@ -128,7 +128,7 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array,
 BLOCK_Q_BWD = 256
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dlse_ref,
                 dq_ref, dk_ref, dv_ref):
     """Backward for one query block; dk/dv accumulate across the sequential
     qi grid axis (their output block is qi-invariant, so Pallas keeps it
@@ -168,6 +168,13 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     delta = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
     )  # [BQ, 1] == sum(dp * p, -1)
+    if dlse_ref is not None:
+        # lse cotangent (ring-hop merge consumes lse): d lse / d s = p, so
+        # it folds into the softmax vjp's row term.  The primal broadcast
+        # lse across LSE_SUBLANES rows, so the cotangent is their SUM.
+        dlse = jnp.transpose(
+            jnp.sum(dlse_ref[0], axis=0, keepdims=True))  # [BQ, 1]
+        delta = delta - dlse
     ds = p * (dp - delta)  # softmax vjp
     ds_lo = ds.astype(k.dtype)
     p_lo = p.astype(v.dtype)
@@ -191,7 +198,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     )
 
 
-def _flash_backward(q, k, v, do, o, lse):
+def _flash_backward(q, k, v, do, o, lse, dlse=None):
     b, nq, d = q.shape
     _, nk, c = v.shape
     pad = (-nq) % BLOCK_Q_BWD
@@ -203,11 +210,24 @@ def _flash_backward(q, k, v, do, o, lse):
         # +inf so p = exp(-inf) = 0 there
         lse = jnp.pad(lse, ((0, 0), (0, 0), (0, pad)),
                       constant_values=jnp.inf)
+        if dlse is not None:
+            dlse = jnp.pad(dlse, ((0, 0), (0, 0), (0, pad)))
     nq_p = q.shape[1]
     grid = (b, nq_p // BLOCK_Q_BWD)
 
+    lse_spec = pl.BlockSpec((1, LSE_SUBLANES, BLOCK_Q_BWD),
+                            lambda bi, qi: (bi, 0, qi),
+                            memory_space=pltpu.VMEM)
+    if dlse is None:
+        kernel = lambda qr, kr, vr, dor, orf, lr, *outs: _bwd_kernel(  # noqa: E731
+            qr, kr, vr, dor, orf, lr, None, *outs)
+        extra_in, extra_specs = (), ()
+    else:
+        kernel = _bwd_kernel
+        extra_in, extra_specs = (dlse,), (lse_spec,)
+
     dq, dk, dv = pl.pallas_call(
-        _bwd_kernel,
+        kernel,
         out_shape=(
             jax.ShapeDtypeStruct((b, nq_p, d), q.dtype),
             jax.ShapeDtypeStruct((b, nk, d), jnp.float32),
@@ -225,9 +245,8 @@ def _flash_backward(q, k, v, do, o, lse):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BLOCK_Q_BWD, c), lambda bi, qi: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LSE_SUBLANES, BLOCK_Q_BWD),
-                         lambda bi, qi: (bi, 0, qi),
-                         memory_space=pltpu.VMEM),
+            lse_spec,
+            *extra_specs,
         ],
         out_specs=(
             pl.BlockSpec((1, BLOCK_Q_BWD, d), lambda bi, qi: (bi, qi, 0),
@@ -242,7 +261,7 @@ def _flash_backward(q, k, v, do, o, lse):
             bytes_accessed=(2 * q.size + k.size + 2 * v.size) * 4,
             transcendentals=b * nq_p * nk,
         ),
-    )(q, k, v, do, o, lse)
+    )(q, k, v, do, o, lse, *extra_in)
     return dq[:, :nq], dk.astype(k.dtype), dv.astype(v.dtype)
 
 
@@ -268,6 +287,33 @@ def _bwd_rule(res, g):
 
 
 flash_attend_tokens.defvjp(_fwd_rule, _bwd_rule)
+
+
+@jax.custom_vjp
+def flash_attend_tokens_lse(q: jax.Array, k: jax.Array, v: jax.Array):
+    """Fused attention returning (o, lse) — the ring-hop body
+    (ops/ring_attention.py merges per-hop partials with lse weights).
+
+    lse is the sublane-replicated [B, LSE_SUBLANES, Nq] layout (every
+    sublane row holds the same value — slice ``[:, 0]``); its cotangent is
+    folded into the softmax vjp in the backward kernel (ds gains +p*dlse).
+    """
+    return _flash_forward(q, k, v, want_lse=True)
+
+
+def _fwd_rule_lse(q, k, v):
+    o, lse = _flash_forward(q, k, v)
+    return (o, lse), (q, k, v, o, lse)
+
+
+def _bwd_rule_lse(res, g):
+    q, k, v, o, lse = res
+    do, dlse = g
+    return _flash_backward(q, k, v, do.astype(v.dtype), o, lse,
+                           dlse=dlse.astype(jnp.float32))
+
+
+flash_attend_tokens_lse.defvjp(_fwd_rule_lse, _bwd_rule_lse)
 
 
 def flash_attention_viable(

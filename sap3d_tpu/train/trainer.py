@@ -281,9 +281,11 @@ class Trainer:
         step = int(self.state.step)
         t_last, n_last = time.time(), 0
         profiling = False
+        ran_any = False
         batches = self._device_prefetch(self._macro_batches(train_batches))
         for k, f, t, targets, n_clips in batches:
             step += k
+            ran_any = True
             if cfg.profile_dir and step >= cfg.profile_start and not profiling \
                     and step < cfg.profile_start + cfg.profile_steps:
                 jax.profiler.start_trace(cfg.profile_dir)
@@ -336,7 +338,23 @@ class Trainer:
         if profiling:
             jax.block_until_ready(self.state.params)
             jax.profiler.stop_trace()
-        self.ckpt.save(self.state, step)
+        if not ran_any:
+            if step == 0:
+                # zero batches survived the train/valid split +
+                # drop-remainder (e.g. clips < global batch).  Fail loudly:
+                # saving the never-stepped init state would otherwise crash
+                # deep inside the collective Orbax save on multi-host
+                # (host-local init arrays).
+                raise RuntimeError(
+                    "fit() ran ZERO training steps — the loader produced no "
+                    "full batches (too few clips for the batch size after "
+                    "the train/valid split?).  Nothing was saved."
+                )
+            # resumed at step N with no new data: the checkpoint already
+            # exists; a redundant save of the restored state adds nothing
+            print(f"fit(): no new batches at step {step}; nothing to do")
+        else:
+            self.ckpt.save(self.state, step)
         print("Training Finished!")
 
     def validate(self, step: int, valid_batches: Iterable) -> dict:

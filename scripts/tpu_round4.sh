@@ -61,6 +61,9 @@ run step_via2d 2400 env SAP3D_CONV3D_VIA_2D=1 $PY scripts/profile_step.py full
 run step_catsplit 2400 env SAP3D_CONCAT_SPLIT=1 $PY scripts/profile_step.py full
 run step_catsplit_via2d 2400 env SAP3D_CONCAT_SPLIT=1 SAP3D_CONV3D_VIA_2D=1 $PY scripts/profile_step.py full
 
+# 4c. ring-attention hop body A/B at flagship x_1_3 shard shapes
+run ring_hop 2400 $PY scripts/profile_ring_hop.py
+
 # 5. batch/k sweep (donated)
 run sweep_bench 3600 $PY scripts/sweep_bench.py
 

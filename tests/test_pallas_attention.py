@@ -114,6 +114,38 @@ def test_viability_heuristic():
     assert not flash_attention_viable(100000, 50000, 128, 4096)
 
 
+def test_flash_lse_vjp_matches_reference():
+    """flash_attend_tokens_lse: gradients must be correct when the loss
+    consumes BOTH outputs (o and lse) — the ring-hop merge does exactly
+    that (ops/ring_attention.py), so the lse cotangent path (+p*dlse in
+    the backward kernel) is load-bearing."""
+    from sap3d_tpu.ops.pallas.flash_attention import flash_attend_tokens_lse
+
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=(2, 300, 8)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 32, 8)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 32, 16)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        o, lse = flash_attend_tokens_lse(q, k, v)
+        return jnp.sum(o ** 2) + jnp.sum(jnp.cos(lse[:, 0]))
+
+    def loss_ref(q, k, v):
+        o = _ref(q, k, v)
+        s = jnp.einsum("bqd,bkd->bqk", q, k,
+                       precision=jax.lax.Precision.HIGHEST)
+        lse = jax.nn.logsumexp(s, axis=-1)
+        return jnp.sum(o ** 2) + jnp.sum(jnp.cos(lse))
+
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_flash, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=2e-2, atol=2e-4
+        )
+
+
 def test_flash_primal_nolse_matches_reference():
     """The inference path (custom_vjp primal, no differentiation) uses the
     lse-free kernel; it must produce the same output as the lse variant."""

@@ -60,6 +60,46 @@ def test_ring_gradients_match_gather():
         )
 
 
+def test_ring_pallas_hop_matches_gather():
+    """hop_impl="pallas" (flash kernel per hop + hop-level online-softmax
+    merge) must match the gather path in values AND gradients — the grads
+    exercise the backward kernel's lse-cotangent fold (+p*dlse), which only
+    the ring merge consumes.  Interpret mode emulates the kernel on CPU;
+    the real-silicon check is scripts/smoke_flash_tpu.py + the ring-hop
+    benchmark (scripts/profile_ring_hop.py)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(3)
+    # nq_loc = 256 = BLOCK_Q (the kernel's minimum per-shard query count)
+    b, nq, nk, d, c = 1, 1024, 512, 8, 16
+    q = jnp.asarray(rng.normal(size=(b, nq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, nk, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, nk, c)), jnp.float32)
+    mesh = make_time_mesh(4)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = ring_attend_sharded(mesh, q, k, v, hop_impl="pallas")
+    want = attend_tokens(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+    )
+
+    def loss_ring(q, k, v):
+        return jnp.sum(
+            ring_attend_sharded(mesh, q, k, v, hop_impl="pallas") ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attend_tokens(q, k, v) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, bb in zip(g_ring, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=1e-4, atol=1e-4
+        )
+
+
 def test_ring_time_sharded_train_step():
     """A full train step (fwd+bwd+Adam+BN) with ring SA under time sharding
     runs and matches the replicated non-ring step's loss.  Dropout off so
