@@ -33,7 +33,11 @@ print('TUNNEL_OK', (jnp.ones((1024,1024),jnp.bfloat16)@jnp.ones((1024,1024),jnp.
 echo "probe history $(date)" > $PROBELOG
 for attempt in $(seq 1 48); do   # up to ~8h of waiting
   echo "--- probe $attempt $(date +%H:%M:%S)" >> $PROBELOG
-  if probe_once && grep -q TUNNEL_OK $PROBELOG; then
+  # judge success on the PRINTED marker, not the exit code: the axon
+  # backend's teardown can hang past the probe timeout AFTER the matmul
+  # already succeeded (observed r4: rc=124 with TUNNEL_OK printed)
+  probe_once || true
+  if grep -q TUNNEL_OK $PROBELOG; then
     echo "tunnel up after $attempt probe(s)" | tee -a $LOG
     break
   fi
