@@ -238,14 +238,17 @@ class P3DEncoder(nn.Module):
 def _cat(xs: Sequence[jax.Array]):
     """Dense-skip channel concat feeding a ConvNormRelu.
 
-    Under SAP3D_CONCAT_SPLIT=1 the parts are handed to ConvNormRelu
-    unconcatenated and the conv runs split-and-summed per part
-    (ops/concat_split.py) — the concat tensor never materializes in HBM.
+    By default (SAP3D_CONCAT_SPLIT, see ops/concat_split.py) the parts are
+    handed to ConvNormRelu unconcatenated and the conv runs split-and-summed
+    per part — the concat tensor never materializes in HBM (measured +4.9%
+    full-step on v5e, r4).  SAP3D_CONCAT_SPLIT=0 restores eager concat.
     CONTRACT: every _cat consumer must be a ConvNormRelu (the only module
     that accepts a parts tuple).  Sites feeding anything else — the plain
     conv in GNSAConcat2Decoder, UNetDecoder's transpose convs — call
     jnp.concatenate eagerly themselves."""
-    if os.environ.get("SAP3D_CONCAT_SPLIT") == "1":
+    from sap3d_tpu.ops.concat_split import concat_split_enabled
+
+    if concat_split_enabled():
         return tuple(xs)
     return jnp.concatenate(list(xs), axis=-1)
 

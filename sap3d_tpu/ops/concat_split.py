@@ -12,8 +12,10 @@ concat into the conv operand, splitting saves that traffic at identical
 FLOPs (the per-part contraction widths stay MXU-friendly multiples of
 128).
 
-Flag-gated ``SAP3D_CONCAT_SPLIT=1`` until measured on hardware (the staged
-A/B lives in scripts/tpu_round3.sh).  ``SplitConcatConv`` declares the
+DEFAULT ON since round 4: the full-step A/B on the v5e measured 103.64 vs
+108.67 ms/step (+4.9% clips/s, /tmp/tpu_r4.log 2026-08-19) — XLA does NOT
+fuse these concats away.  Opt out with ``SAP3D_CONCAT_SPLIT=0``.
+``SplitConcatConv`` declares the
 exact same parameters as the ``nn.Conv`` it replaces (one fused kernel
 ``[kd, kh, kw, sum(Ci), F]`` + bias), so checkpoints and param trees are
 unchanged; the kernel is sliced per part at apply time (weights are tiny
@@ -31,6 +33,13 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+def concat_split_enabled() -> bool:
+    """Concat-free dense-skip convs are the DEFAULT (measured +4.9% on the
+    full train step, v5e r4); ``SAP3D_CONCAT_SPLIT=0`` restores the eager
+    concat schedule."""
+    return os.environ.get("SAP3D_CONCAT_SPLIT", "1") != "0"
 
 
 def conv3d_concat_split(

@@ -158,20 +158,23 @@ class ConvNormRelu(nn.Module):
         kernel = _triple(self.kernel)
         strides = _triple(self.strides)
         # ``x`` may be a tuple of channel-concat parts (the decoders' lazy
-        # dense-skip concats, models/p3d.py:_cat).  Under
-        # SAP3D_CONCAT_SPLIT=1 the conv runs per part and sums — the concat
-        # tensor never materializes (ops/concat_split.py, exact math, same
-        # params); otherwise concatenate eagerly as before.
-        if isinstance(x, (tuple, list)) \
-                and os.environ.get("SAP3D_CONCAT_SPLIT") == "1":
-            from sap3d_tpu.ops.concat_split import SplitConcatConv
+        # dense-skip concats, models/p3d.py:_cat).  By default the conv
+        # runs per part and sums — the concat tensor never materializes
+        # (ops/concat_split.py, exact math, same params, measured +4.9%
+        # full-step on v5e); SAP3D_CONCAT_SPLIT=0 concatenates eagerly.
+        if isinstance(x, (tuple, list)):
+            from sap3d_tpu.ops.concat_split import (
+                SplitConcatConv,
+                concat_split_enabled,
+            )
 
+            assert concat_split_enabled()  # _cat only yields tuples when on
             conv_cls = SplitConcatConv
         else:
-            if isinstance(x, (tuple, list)):
-                x = jnp.concatenate(list(x), axis=-1)
             # Experimental 2-D formulation of the 3-D conv (same params,
-            # exact math, ops/conv2d_path.py); opt-in until measured.
+            # exact math, ops/conv2d_path.py); opt-in — the r4 full-step A/B
+            # measured it a 30% REGRESSION (152.6 vs 108.7 ms), kept only
+            # as a recorded experiment.
             if os.environ.get("SAP3D_CONV3D_VIA_2D") == "1" \
                     and strides[0] == 1:
                 from sap3d_tpu.ops.conv2d_path import Conv3DVia2D

@@ -28,8 +28,10 @@ def chained(step, x0, n_small=4, n_large=14, extra=()):
         out = None
         for _ in range(n):
             out = step(*extra, x)
-            # dependency only: fold a scalar of the output back into the input
-            x = x0 + jnp.sum(out.astype(jnp.float32)).astype(x0.dtype) * 0
+            # dependency only: fold a scalar of the output back into the
+            # input.  * 1e-12, not * 0 — zero lets XLA fold the term away
+            # and the iterations lose their data dependency (bench.py)
+            x = x0 + jnp.sum(out.astype(jnp.float32)).astype(x0.dtype) * 1e-12
         return float(jnp.sum(out.astype(jnp.float32)).block_until_ready())
 
     run(2)

@@ -23,14 +23,18 @@ import numpy as np
 PEAK = 197e12
 
 
-def chained(step, x0, extra=(), n_small=4, n_large=14):
+def chained(step, x0, extra=(), n_small=4, n_large=24):
     def run(n):
         x = x0
         s = None
         for _ in range(n):
             out = step(*extra, x)
             s = out if isinstance(out, jax.Array) else jax.tree.leaves(out)[0]
-            x = x0 + jnp.sum(s.astype(jnp.float32)).astype(x0.dtype) * 0
+            # * 1e-12, NOT * 0: a zero multiplier lets XLA fold the feedback
+            # term away, the iterations lose their data dependency, and the
+            # async runtime overlaps them (observed: fwd+bwd "faster" than
+            # fwd, efficiencies >100%).  Same scheme as bench.py.
+            x = x0 + jnp.sum(s.astype(jnp.float32)).astype(x0.dtype) * 1e-12
         return float(jnp.sum(s.astype(jnp.float32)).block_until_ready())
 
     run(2)

@@ -36,7 +36,9 @@ def chained(step, x0, extra=(), n_small=4, n_large=14):
         for _ in range(n):
             out = step(*extra, x)
             s = out if isinstance(out, jax.Array) else jax.tree.leaves(out)[0]
-            x = x0 + jnp.sum(s.astype(jnp.float32)).astype(x0.dtype) * 0
+            # * 1e-12, not * 0 — zero lets XLA fold the feedback away and
+            # the iterations lose their data dependency (bench.py)
+            x = x0 + jnp.sum(s.astype(jnp.float32)).astype(x0.dtype) * 1e-12
         return float(jnp.sum(s.astype(jnp.float32)).block_until_ready())
 
     run(2)

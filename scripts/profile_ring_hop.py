@@ -123,9 +123,11 @@ def main():
 
         def gstep(q, k, v, m, den, acc):
             gq, gk, gv = g(q, k, v, m, den, acc)
-            # keep the chained protocol: return merge-state-shaped outputs
-            return (m + jnp.sum(gq.astype(jnp.float32)) * 0, den,
-                    acc + gv.astype(jnp.float32).sum() * 0)
+            # keep the chained protocol: return merge-state-shaped outputs.
+            # * 1e-12, not * 0 — a zero multiplier would let XLA fold the
+            # dependency away and the iterations would overlap (bench.py).
+            return (m + jnp.sum(gq.astype(jnp.float32)) * 1e-12, den,
+                    acc + gv.astype(jnp.float32).sum() * 1e-12)
 
         ms_fb = chained(jax.jit(gstep), args)
         print(f"hop[{name:6s}]  fwd {ms_f:7.2f} ms   fwd+bwd {ms_fb:7.2f} ms",

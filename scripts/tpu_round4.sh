@@ -59,11 +59,13 @@ run profile_decoder 2400 $PY scripts/profile_decoder.py
 # 3. full-step ablation decomposition
 run profile_step 4800 $PY scripts/profile_step.py
 
-# 4. conv3d-via-2d and concat-split A/Bs at full step (alone + combined)
+# 4. flag A/Bs at full step.  Measured 2026-08-19 (pre-default-flip):
+#    default(eager concat) 108.67ms | via2d 152.60 REJECTED |
+#    concat-split 103.64 (+4.9%) -> now the DEFAULT (SAP3D_CONCAT_SPLIT=0
+#    restores eager).  Legs below keep re-verifying both sides.
 run step_default 1800 $PY scripts/profile_step.py full
+run step_catsplit_off 2400 env SAP3D_CONCAT_SPLIT=0 $PY scripts/profile_step.py full
 run step_via2d 2400 env SAP3D_CONV3D_VIA_2D=1 $PY scripts/profile_step.py full
-run step_catsplit 2400 env SAP3D_CONCAT_SPLIT=1 $PY scripts/profile_step.py full
-run step_catsplit_via2d 2400 env SAP3D_CONCAT_SPLIT=1 SAP3D_CONV3D_VIA_2D=1 $PY scripts/profile_step.py full
 
 # 4c. ring-attention hop body A/B at flagship x_1_3 shard shapes
 run ring_hop 2400 $PY scripts/profile_ring_hop.py

@@ -56,7 +56,8 @@ def test_flagship_decoder_forward_and_grads_match(monkeypatch):
     frames = _rand(jax.random.PRNGKey(1), (2, 16, 16, 16, 3))
     targets = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 16, 16))
 
-    monkeypatch.delenv("SAP3D_CONCAT_SPLIT", raising=False)
+    # default is ON since r4 — "0" selects the eager-concat baseline
+    monkeypatch.setenv("SAP3D_CONCAT_SPLIT", "0")
     model = build_model("p3d_micro", dtype="float32")
     variables = model.init(jax.random.PRNGKey(0), frames, train=False)
     base_loss, base_grads = jax.value_and_grad(
