@@ -32,25 +32,10 @@ SITES = [
 ]
 
 
-def chained_time(step, q, k, v, n_small=4, n_large=24):
-    """step(q,k,v) -> scalar-ish array; iterations chained through q."""
-
-    def run(n):
-        qq = q
-        out = None
-        for _ in range(n):
-            out = step(qq, k, v)
-            qq = q + out  # data dependency forces sequential execution
-        return float(jnp.sum(out.astype(jnp.float32)).block_until_ready())
-
-    run(2)
-    t0 = time.perf_counter()
-    run(n_small)
-    t_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    run(n_large)
-    t_l = time.perf_counter() - t0
-    return (t_l - t_s) / (n_large - n_small) * 1e3
+# scan-chained timing, one dispatch per run (scripts/_scan_timer.py):
+# Python-level chaining of 1-10 ms attention sites drowns in tunnel
+# dispatch jitter.
+from _scan_timer import scan_ms
 
 
 def main():
@@ -74,29 +59,26 @@ def main():
 
         def make_bwd(f):
             def loss(q, k, v):
-                return jnp.sum(f(q, k, v).astype(jnp.float32))
+                # quadratic loss + grads w.r.t. ALL THREE inputs: a linear
+                # loss/partial grad set lets XLA hoist or DCE parts of the
+                # backward out of the timed program (profile_decoder.py)
+                return 0.5 * jnp.sum(f(q, k, v).astype(jnp.float32) ** 2)
 
-            g = jax.grad(loss)
-
-            def step(q, k, v):
-                return g(q, k, v)
-
-            return step
-
-        jf_p, jf_x = jax.jit(fwd_p), jax.jit(fwd_x)
-        jb_p, jb_x = jax.jit(make_bwd(flash_attend_tokens)), jax.jit(
-            make_bwd(attend_tokens)
-        )
+            return jax.grad(loss, argnums=(0, 1, 2))
 
         row = [
             f"{name:7s} nq={nq:6d} nk={nk:5d} d={inter:3d} c={c:4d} "
             f"viable={viable}"
         ]
         if viable:
-            row.append(f"pallas fwd {chained_time(jf_p, q, k, v):7.2f}ms")
-            row.append(f"f+b {chained_time(jb_p, q, k, v):7.2f}ms")
-        row.append(f"| xla fwd {chained_time(jf_x, q, k, v):7.2f}ms")
-        row.append(f"f+b {chained_time(jb_x, q, k, v):7.2f}ms")
+            row.append(f"pallas fwd {scan_ms(fwd_p, q, extra=(k, v)):7.2f}ms")
+            row.append(
+                f"f+b {scan_ms(make_bwd(flash_attend_tokens), q, extra=(k, v)):7.2f}ms"
+            )
+        row.append(f"| xla fwd {scan_ms(fwd_x, q, extra=(k, v)):7.2f}ms")
+        row.append(
+            f"f+b {scan_ms(make_bwd(attend_tokens), q, extra=(k, v)):7.2f}ms"
+        )
         print("  ".join(row), flush=True)
 
 

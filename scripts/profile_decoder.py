@@ -23,24 +23,10 @@ import numpy as np
 PEAK = 197e12
 
 
-def chained(step, x0, extra=(), n_small=4, n_large=24):
-    def run(n):
-        x = x0
-        s = None
-        for _ in range(n):
-            out = step(*extra, x)
-            s = out if isinstance(out, jax.Array) else jax.tree.leaves(out)[0]
-            # * 1e-12, NOT * 0: a zero multiplier lets XLA fold the feedback
-            # term away, the iterations lose their data dependency, and the
-            # async runtime overlaps them (observed: fwd+bwd "faster" than
-            # fwd, efficiencies >100%).  Same scheme as bench.py.
-            x = x0 + jnp.sum(s.astype(jnp.float32)).astype(x0.dtype) * 1e-12
-        return float(jnp.sum(s.astype(jnp.float32)).block_until_ready())
-
-    run(2)
-    t0 = time.perf_counter(); run(n_small); ts = time.perf_counter() - t0
-    t0 = time.perf_counter(); run(n_large); tl = time.perf_counter() - t0
-    return (tl - ts) / (n_large - n_small) * 1e3
+# scan-chained timing: the loop lives INSIDE one jit program (one dispatch
+# per run) because Python-level chaining of 1-10 ms ops drowns in per-
+# dispatch tunnel jitter — see scripts/_scan_timer.py for the full story.
+from _scan_timer import scan_ms  # noqa: E402
 
 
 def conv_site(name, in_shape, cout, kernel, strides=(1, 1, 1), batch=16,
@@ -54,15 +40,13 @@ def conv_site(name, in_shape, cout, kernel, strides=(1, 1, 1), batch=16,
         # no preferred_element_type: with bf16 operands this jax version
         # builds a mismatched-dtype conv in the VJP (bf16 kernel vs f32
         # cotangent); the MXU accumulates fp32 internally regardless
-        @jax.jit
-        def f(w, x):
+        def f(x, w):
             return jax.lax.conv_transpose(
                 x, w, strides, "SAME",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
         out_sp = tuple(s * st for s, st in zip(in_shape[:-1], strides))
     else:
-        @jax.jit
-        def f(w, x):
+        def f(x, w):
             return jax.lax.conv_general_dilated(
                 x, w, strides, "SAME",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
@@ -74,16 +58,21 @@ def conv_site(name, in_shape, cout, kernel, strides=(1, 1, 1), batch=16,
     if transpose:
         flops_f //= int(np.prod(strides))
         flops_f *= int(np.prod(strides))  # same total MACs as fwd conv pair
-    ms_f = chained(f, x, extra=(w,))
+    ms_f = scan_ms(f, x, extra=(w,))
 
-    @jax.jit
-    def fb(w, x):
+    def fb(x, w):
+        # QUADRATIC loss: with a linear sum(conv) loss the cotangent is
+        # constant, gx becomes x-independent, and XLA hoists the entire
+        # backward out of the timing loop (observed: "f+b" faster than
+        # fwd).  sum(conv^2)/2 makes the cotangent conv(x) itself, so the
+        # timed program is the honest fwd + dx + dw conv triple.
         def loss(w, x):
-            return jnp.sum(f(w, x).astype(jnp.float32))
+            y = f(x, w).astype(jnp.float32)
+            return 0.5 * jnp.sum(y * y)
         gw, gx = jax.grad(loss, argnums=(0, 1))(w, x)
-        return gx
+        return gx, gw
 
-    ms_fb = chained(fb, x, extra=(w,))
+    ms_fb = scan_ms(fb, x, extra=(w,))
     eff_f = flops_f / (ms_f * 1e-3) / PEAK
     eff_fb = 3 * flops_f / (ms_fb * 1e-3) / PEAK
     print(f"{name:34s} fwd {ms_f:7.2f} ms ({eff_f * 100:4.0f}%)   "

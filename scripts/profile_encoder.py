@@ -29,22 +29,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from sap3d_tpu.models.p3d import Bottleneck, P3DEncoder
 
 
-def chained(step, x0, extra=(), n_small=4, n_large=14):
-    def run(n):
-        x = x0
-        s = None
-        for _ in range(n):
-            out = step(*extra, x)
-            s = out if isinstance(out, jax.Array) else jax.tree.leaves(out)[0]
-            # * 1e-12, not * 0 — zero lets XLA fold the feedback away and
-            # the iterations lose their data dependency (bench.py)
-            x = x0 + jnp.sum(s.astype(jnp.float32)).astype(x0.dtype) * 1e-12
-        return float(jnp.sum(s.astype(jnp.float32)).block_until_ready())
+# scan-chained timing: the loop lives inside ONE jit program so per-
+# dispatch tunnel jitter amortizes (scripts/_scan_timer.py).  Adapter only:
+# this file's step functions take (extra..., x); scan_ms wants (x, extra...).
+from _scan_timer import scan_ms
 
-    run(2)
-    t0 = time.perf_counter(); run(n_small); ts = time.perf_counter() - t0
-    t0 = time.perf_counter(); run(n_large); tl = time.perf_counter() - t0
-    return (tl - ts) / (n_large - n_small) * 1e3
+
+def chained(step, x0, extra=(), n_small=8, n_large=40):
+    return scan_ms(lambda x, *e: step(*e, x), x0, extra=extra,
+                   n_small=n_small, n_large=n_large)
 
 
 def report(name, ms):
@@ -77,8 +70,9 @@ def encoder_stages(batch=16):
                     {"params": params, "batch_stats": v["batch_stats"]},
                     f, train=True, mutable=["batch_stats"])
                 return jnp.sum(feats[last].astype(jnp.float32))
-            g = jax.grad(loss)(v["params"])
-            return jax.tree.leaves(g)[0]
+            # return the FULL tree: returning one leaf lets XLA DCE the
+            # other per-param gradient convs out of the timed program
+            return jax.grad(loss)(v["params"])
 
         ms_fb = chained(fwdbwd, x, extra=(v,))
         report(f"encoder[{n_stages} stages] fwd", ms_f)
@@ -118,7 +112,7 @@ def one_block(batch=16, norm="bn", st="B", n_rep=6):
                 else:
                     h = blk.apply(vv, h, train=True)
             return jnp.sum(h.astype(jnp.float32))
-        return jax.tree.leaves(jax.grad(loss)(v["params"]))[0]
+        return jax.grad(loss)(v["params"])  # full tree: no DCE of dW convs
 
     ms_fb = chained(fwdbwd, x, extra=(v,)) / n_rep
     report(f"stage3 block [{st},{norm}] fwd (x36={ms_f * 36:.1f})", ms_f)

@@ -83,20 +83,10 @@ def pallas_hop(q, k, v, m, den, acc):
     return new_m, den, acc
 
 
-def chained(step, args, n_small=4, n_large=14):
-    def run(n):
-        a = args
-        out = None
-        for _ in range(n):
-            out = step(*a)
-            # feed the merge state back so iterations chain
-            a = (a[0], a[1], a[2]) + tuple(out)
-        return float(jnp.sum(out[2].astype(jnp.float32)).block_until_ready())
-
-    run(2)
-    t0 = time.perf_counter(); run(n_small); ts = time.perf_counter() - t0
-    t0 = time.perf_counter(); run(n_large); tl = time.perf_counter() - t0
-    return (tl - ts) / (n_large - n_small) * 1e3
+# scan-chained timing (one dispatch per run): Python-level chaining of
+# these ~1 ms hops drowns in tunnel dispatch jitter — the r4 part-A run
+# printed a NEGATIVE xla fwd time.  See scripts/_scan_timer.py.
+from _scan_timer import scan_ms  # noqa: E402
 
 
 def main():
@@ -111,25 +101,17 @@ def main():
     args = (q, k, v, m0, den0, acc0)
 
     for name, hop in (("xla", xla_hop), ("pallas", pallas_hop)):
-        f = jax.jit(hop)
-        ms_f = chained(f, args)
+        ms_f = scan_ms(hop, q, extra=args[1:])
 
         def loss(q, k, v, m, den, acc, hop=hop):
             nm, nden, nacc = hop(q, k, v, m, den, acc)
             out = nacc / nden[..., None]
-            return jnp.sum(out.astype(jnp.float32))
+            # quadratic: a linear loss makes parts of the backward input-
+            # independent and loop-hoistable (see profile_decoder.py)
+            return 0.5 * jnp.sum(out.astype(jnp.float32) ** 2)
 
-        g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
-
-        def gstep(q, k, v, m, den, acc):
-            gq, gk, gv = g(q, k, v, m, den, acc)
-            # keep the chained protocol: return merge-state-shaped outputs.
-            # * 1e-12, not * 0 — a zero multiplier would let XLA fold the
-            # dependency away and the iterations would overlap (bench.py).
-            return (m + jnp.sum(gq.astype(jnp.float32)) * 1e-12, den,
-                    acc + gv.astype(jnp.float32).sum() * 1e-12)
-
-        ms_fb = chained(jax.jit(gstep), args)
+        g = jax.grad(loss, argnums=(0, 1, 2))
+        ms_fb = scan_ms(g, q, extra=args[1:])
         print(f"hop[{name:6s}]  fwd {ms_f:7.2f} ms   fwd+bwd {ms_fb:7.2f} ms",
               flush=True)
 
