@@ -149,35 +149,75 @@ class SelfAttention3D(nn.Module):
         b, d, h_dim, w, c = x.shape
         inter = max(1, c // 8)
 
-        # The f/g/h 1x1x1 projections are computed as ONE fused GEMM
-        # (c -> inter+inter+c) and split: three separate convs would read
-        # the full-resolution input three times and run the narrow f/g
-        # outputs (c/8 columns) at poor MXU utilization.  The parameters
-        # stay three separate submodules ("f"/"g"/"h", kernel+bias, same
-        # init) so checkpoints and the TF importer are unaffected.
+        # The f/g/h 1x1x1 projections: three schemes, selectable via
+        # SAP3D_ATTN_PROJ (parameters are IDENTICAL in all three — separate
+        # "f"/"g"/"h" submodules, kernel+bias, same init — so checkpoints
+        # and the TF importer are unaffected):
+        #   "fused" (default): one GEMM (c -> inter+inter+c), fp32
+        #     accumulator tensor, split.  Reads x once.
+        #   "fused_lowp": same one GEMM but emitted at compute dtype (the
+        #     MXU still accumulates fp32 internally; this drops the
+        #     explicit [*, 2i+c] fp32 intermediate, which at the x_1_3
+        #     site is a ~257MB HBM round-trip if XLA fails to fuse the
+        #     convert into the GEMM epilogue).
+        #   "separate": three GEMMs, reading x three times (the r4 bisect
+        #     measured this FASTER than "fused" at x_1_3 fwd: 1.95 vs
+        #     3.02 ms — scripts/bisect_infer.py).
+        import os as _os
+
+        proj_mode = _os.environ.get("SAP3D_ATTN_PROJ", "fused")
         kf, bf = _ProjParams(inter, c, name="f")()
         kg, bg = _ProjParams(inter, c, name="g")()
         kh, bh = _ProjParams(c, c, name="h")()
-        w_cat = jnp.concatenate([kf, kg, kh], axis=-1)[0, 0, 0]  # [c, 2i+c]
-        b_cat = jnp.concatenate([bf, bg, bh])
         if self.dtype is not None:
             xc = x.astype(self.dtype)
-            w_cat = w_cat.astype(self.dtype)
-            b_cat = b_cat.astype(self.dtype)
         else:
             xc = x
-            w_cat = w_cat.astype(x.dtype)
-            b_cat = b_cat.astype(x.dtype)
-        fgh = (
-            jnp.einsum(
-                "bdhwc,co->bdhwo", xc, w_cat,
-                preferred_element_type=jnp.promote_types(xc.dtype, jnp.float32),
-            ).astype(xc.dtype)
-            + b_cat
-        )
-        f = fgh[..., :inter]  # keys
-        g = fgh[..., inter:2 * inter]  # queries
-        hv = fgh[..., 2 * inter:]  # values
+
+        def _proj(kernel, bias, out_dtype, acc_dtype):
+            w2 = kernel[0, 0, 0]
+            if self.dtype is not None:
+                w2 = w2.astype(self.dtype)
+                b2 = bias.astype(self.dtype)
+            else:
+                w2 = w2.astype(x.dtype)
+                b2 = bias.astype(x.dtype)
+            y = jnp.einsum(
+                "bdhwc,co->bdhwo", xc, w2,
+                preferred_element_type=acc_dtype,
+            )
+            return y.astype(out_dtype) + b2
+
+        if proj_mode == "separate":
+            acc = jnp.promote_types(xc.dtype, jnp.float32)
+            f = _proj(kf, bf, xc.dtype, acc)
+            g = _proj(kg, bg, xc.dtype, acc)
+            hv = _proj(kh, bh, xc.dtype, acc)
+        else:
+            w_cat = jnp.concatenate(
+                [kf[0, 0, 0], kg[0, 0, 0], kh[0, 0, 0]], axis=-1
+            )  # [c, 2i+c]
+            b_cat = jnp.concatenate([bf, bg, bh])
+            if self.dtype is not None:
+                w_cat = w_cat.astype(self.dtype)
+                b_cat = b_cat.astype(self.dtype)
+            else:
+                w_cat = w_cat.astype(x.dtype)
+                b_cat = b_cat.astype(x.dtype)
+            acc = (
+                xc.dtype if proj_mode == "fused_lowp"
+                else jnp.promote_types(xc.dtype, jnp.float32)
+            )
+            fgh = (
+                jnp.einsum(
+                    "bdhwc,co->bdhwo", xc, w_cat,
+                    preferred_element_type=acc,
+                ).astype(xc.dtype)
+                + b_cat
+            )
+            f = fgh[..., :inter]  # keys
+            g = fgh[..., inter:2 * inter]  # queries
+            hv = fgh[..., 2 * inter:]  # values
         if self.subsample:
             f = pool3d(f, self.sub_size)
             hv = pool3d(hv, self.sub_size)

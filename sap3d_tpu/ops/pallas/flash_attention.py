@@ -116,6 +116,11 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array,
             bytes_accessed=(q.size + k.size + v.size + b * nq_p * c) * 4,
             transcendentals=b * nq_p * nk,
         ),
+        # see the backward's note: Mosaic's scoped-vmem need is batch-
+        # dependent beyond the block-shape model; lift the 16MB default
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )(q, k, v)
     if not want_lse:
         return res[:, :nq], None
@@ -260,6 +265,15 @@ def _flash_backward(q, k, v, do, o, lse, dlse=None):
             flops=5 * 2 * b * nq_p * nk * (d + c) // 2,
             bytes_accessed=(2 * q.size + k.size + 2 * v.size) * 4,
             transcendentals=b * nq_p * nk,
+        ),
+        # Mosaic's default scoped-vmem ceiling is 16MB; its ACTUAL stack
+        # need for this kernel is batch-dependent in a way the block-shape
+        # model can't see (measured r4: the x_2_2 site fits at b<=24 but
+        # asks 19.21M at b=32 and fails the whole train-step compile).
+        # Raise the ceiling for this kernel only — v5e VMEM is 128MB and
+        # our gate already bounds the resident working set to ~12MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
     )(q, k, v, do, o, lse, *extra_in)
     return dq[:, :nq], dk.astype(k.dtype), dv.astype(v.dtype)
