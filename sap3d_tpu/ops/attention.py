@@ -153,19 +153,20 @@ class SelfAttention3D(nn.Module):
         # SAP3D_ATTN_PROJ (parameters are IDENTICAL in all three — separate
         # "f"/"g"/"h" submodules, kernel+bias, same init — so checkpoints
         # and the TF importer are unaffected):
-        #   "fused" (default): one GEMM (c -> inter+inter+c), fp32
-        #     accumulator tensor, split.  Reads x once.
-        #   "fused_lowp": same one GEMM but emitted at compute dtype (the
-        #     MXU still accumulates fp32 internally; this drops the
-        #     explicit [*, 2i+c] fp32 intermediate, which at the x_1_3
-        #     site is a ~257MB HBM round-trip if XLA fails to fuse the
-        #     convert into the GEMM epilogue).
-        #   "separate": three GEMMs, reading x three times (the r4 bisect
-        #     measured this FASTER than "fused" at x_1_3 fwd: 1.95 vs
-        #     3.02 ms — scripts/bisect_infer.py).
+        #   "separate" (DEFAULT since r4): three GEMMs, reading x three
+        #     times.  Measured on v5e (2026-08-19): inference 538.6 vs
+        #     519.2 clips/s fused (+3.7%) and train-step-neutral (103.33
+        #     vs 103.64 ms) — the fused path's fp32 accumulator tensor
+        #     (~257MB at x_1_3) costs more HBM traffic than the extra
+        #     reads of x save.
+        #   "fused": one GEMM (c -> inter+inter+c), fp32 accumulator,
+        #     split (the round-2 default).
+        #   "fused_lowp": the one GEMM emitted at compute dtype (no fp32
+        #     intermediate; the MXU still accumulates fp32 internally).
+        #     Measured no better than fused at train (103.97 ms).
         import os as _os
 
-        proj_mode = _os.environ.get("SAP3D_ATTN_PROJ", "fused")
+        proj_mode = _os.environ.get("SAP3D_ATTN_PROJ", "separate")
         kf, bf = _ProjParams(inter, c, name="f")()
         kg, bg = _ProjParams(inter, c, name="g")()
         kh, bh = _ProjParams(c, c, name="h")()

@@ -108,9 +108,10 @@ def test_non_local_rejects_one_channel():
 @pytest.mark.parametrize("mode", ["separate", "fused_lowp"])
 def test_proj_modes_match_fused(monkeypatch, mode):
     """SAP3D_ATTN_PROJ selects the f/g/h projection schedule only — values
-    and gradients must match the fused fp32-accumulator default to fp
-    rounding, with an identical param tree (r4 bisect measured "separate"
-    faster at the x_1_3 site; the flag keeps all three schemes honest)."""
+    and gradients must match the fused fp32-accumulator scheme to fp
+    rounding, with an identical param tree ("separate" is the r4 default:
+    +3.7% inference on v5e, train-neutral; the flag keeps all three
+    schemes honest)."""
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.normal(size=(2, 2, 6, 6, 16)).astype(np.float32))
     module = SelfAttention3D(norm_mode="none")
@@ -132,7 +133,7 @@ def test_proj_modes_match_fused(monkeypatch, mode):
         val, grads = jax.value_and_grad(loss)(params)
         return variables, val, grads
 
-    monkeypatch.delenv("SAP3D_ATTN_PROJ", raising=False)
+    monkeypatch.setenv("SAP3D_ATTN_PROJ", "fused")
     vars_fused, val_fused, g_fused = run()
     monkeypatch.setenv("SAP3D_ATTN_PROJ", mode)
     vars_mode, val_mode, g_mode = run()
