@@ -43,6 +43,7 @@ from sap3d_tpu.ops.layers import (
     glorot,
     max_pool3d,
 )
+from sap3d_tpu.ops.stem_s2d import StemConv
 
 BLOCK_EXPANSION = 4  # reference p3d.py:8
 
@@ -68,11 +69,25 @@ def _tconv(features, kernel, strides, use_bias=True, dtype=None, name=None):
     (2.3ms vs 3.4ms for the up_2_0 shape) but LOSES in the full program —
     XLA fuses the dilated conv with the following norm/concat, while the
     phase version's interleave transposes break fusion (measured 115.4 vs
-    109.5 ms/step, BASELINE.md round 2)."""
+    109.5 ms/step, BASELINE.md round 2).
+
+    Exception under SAP3D_HEAD_TCONV_PS=1: the 1-channel HEAD tconvs (the
+    x_0_1 / predict_revise saliency heads, reference p3d.py:397 etc.) run
+    the phase forward after all — there the output feeds only sigmoid+loss
+    (no norm/concat fusion to break) and C_out=1 starves the MXU's output
+    lanes 127/128 in the dilated form (measured 10% fwd / 14% f+b
+    efficiency, r4 per-site profile).  Same param tree either way."""
     if isinstance(kernel, int):
         kernel = (kernel,) * 3
     if isinstance(strides, int):
         strides = (strides,) * 3
+    if features == 1 and os.environ.get("SAP3D_HEAD_TCONV_PS", "0") == "1":
+        from sap3d_tpu.ops.fast_tconv import FastConvTranspose
+
+        return FastConvTranspose(
+            features, kernel_size=tuple(kernel), strides=tuple(strides),
+            use_bias=use_bias, dtype=dtype, name=name,
+        )
     return nn.ConvTranspose(
         features, kernel_size=tuple(kernel), strides=tuple(strides),
         padding="SAME", use_bias=use_bias, kernel_init=glorot(), dtype=dtype,
@@ -195,8 +210,10 @@ class P3DEncoder(nn.Module):
     def __call__(self, x: jax.Array, train: bool) -> dict[str, jax.Array]:
         feats: dict[str, jax.Array] = {}
         # Stem: (1,7,7) conv stride (1,2,2), no bias (reference p3d.py:172).
-        h = _conv(self.stem_features, (1, 7, 7), (1, 2, 2), use_bias=False,
-                  dtype=self.dtype, name="stem")(x)
+        # StemConv == nn.Conv with an optional space-to-depth formulation
+        # (SAP3D_STEM_S2D — C_in=3 starves the MXU lanes; ops/stem_s2d.py).
+        h = StemConv(self.stem_features, kernel_hw=7, dtype=self.dtype,
+                     name="stem")(x)
         h = Norm(self.norm_mode, dtype=self.dtype, axis_name=self.axis_name,
                  name="stem_norm")(h, train)
         h = nn.relu(h)
