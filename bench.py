@@ -185,12 +185,15 @@ def main():
         }))
         raise SystemExit(2)
     platform = jax.devices()[0].platform
-    # batch sweep on v5e: train 8->54.8, 16->97.7, 32->99.0 clips/s; 16 is
-    # the knee (BASELINE.md).
-    train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
+    # batch knee history on v5e (BASELINE.md): r01 single-step 8->54.8,
+    # 16->97.7, 32->99.0 (knee 16); r4 after the flash-bwd scoped-VMEM fix
+    # unlocked b=32 compiles, the 4-step-scan sweep moved it: b16k4 154.8,
+    # b24k4 154.7, b32k4 156.8, b32k8 157.1 clips/s -> default 32 / k=8.
+    train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", "32"))
+    train_k = int(os.environ.get("BENCH_TRAIN_K", "8"))
     infer_batch = int(os.environ.get("BENCH_INFER_BATCH", "16"))
 
-    train_cps, train_mfu = bench_train(train_batch)
+    train_cps, train_mfu = bench_train(train_batch, train_k)
     infer_cps, infer_mfu = bench_infer(infer_batch)
 
     baseline = None

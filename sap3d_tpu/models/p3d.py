@@ -71,12 +71,16 @@ def _tconv(features, kernel, strides, use_bias=True, dtype=None, name=None):
     phase version's interleave transposes break fusion (measured 115.4 vs
     109.5 ms/step, BASELINE.md round 2).
 
-    Exception under SAP3D_HEAD_TCONV_PS=1: the 1-channel HEAD tconvs (the
-    x_0_1 / predict_revise saliency heads, reference p3d.py:397 etc.) run
-    the phase forward after all — there the output feeds only sigmoid+loss
-    (no norm/concat fusion to break) and C_out=1 starves the MXU's output
-    lanes 127/128 in the dilated form (measured 10% fwd / 14% f+b
-    efficiency, r4 per-site profile).  Same param tree either way."""
+    SAP3D_HEAD_TCONV_PS=1 routes the 1-channel HEAD tconvs (the x_0_1 /
+    predict_revise saliency heads, reference p3d.py:397 etc.) through the
+    phase forward — the hypothesis was that with only sigmoid+loss after
+    the head there is no fusion to break, and C_out=1 starves the MXU's
+    output lanes 127/128 in the dilated form (measured 10%/14% site
+    efficiency).  MEASURED AT FULL STEP (v5e r4 part D): REJECTED as a
+    default too — 104.66 vs 103.33 ms/step; the phase interleave's
+    [B,D,HW,8]->[B,2D,2H,2W,1] relayout costs more than the N=8-vs-N=1
+    MXU packing recovers at this site's size.  Same param tree either
+    way; the flag remains for future shapes."""
     if isinstance(kernel, int):
         kernel = (kernel,) * 3
     if isinstance(strides, int):

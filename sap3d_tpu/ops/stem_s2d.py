@@ -24,6 +24,16 @@ length is even — zeros contribute nothing.
 The parameter tree ("kernel" [1,kh,kw,cin,f]) is IDENTICAL to the nn.Conv it
 replaces, so checkpoints and the TF importer are unaffected; both paths even
 draw the same init values.  Exact to fp rounding: tests/test_stem_s2d.py.
+
+MEASURED OUTCOME (v5e, r4 part D, /tmp/tpu_r4.log): REJECTED as a default —
+full train step 104.64 ms vs 103.33 baseline (−1.3%), inference also down
+(with the head lever: 532.9 vs 538.6 clips/s).  Two effects the isolated
+site numbers miss: (a) the real train step never computes the stem's dx
+(the input is data), so most of the profiled 5.74 ms f+b site cost does not
+exist in-step; (b) the packed 12-channel tensor's minor-most dim occupies
+12 of 128 lanes of its (8,128) HBM tile, so the materialized s2d input
+costs more memory traffic than the lane-starved MXU passes it removes.
+Kept as an equivalence-tested library op; SAP3D_STEM_S2D=1 still selects it.
 """
 
 from __future__ import annotations
