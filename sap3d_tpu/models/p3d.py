@@ -256,20 +256,25 @@ class P3DEncoder(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def _cat(xs: Sequence[jax.Array]):
+def _cat(xs: Sequence[jax.Array], site: str | None = None):
     """Dense-skip channel concat feeding a ConvNormRelu.
 
     By default (SAP3D_CONCAT_SPLIT, see ops/concat_split.py) the parts are
     handed to ConvNormRelu unconcatenated and the conv runs split-and-summed
     per part — the concat tensor never materializes in HBM (measured +4.9%
-    full-step on v5e, r4).  SAP3D_CONCAT_SPLIT=0 restores eager concat.
+    full-step on v5e, r4).  SAP3D_CONCAT_SPLIT=0 restores eager concat
+    globally; SAP3D_CONCAT_EAGER_SITES=<name,...> restores it per named
+    ``site`` (A/B instrument — param trees identical either way).
     CONTRACT: every _cat consumer must be a ConvNormRelu (the only module
     that accepts a parts tuple).  Sites feeding anything else — the plain
     conv in GNSAConcat2Decoder, UNetDecoder's transpose convs — call
     jnp.concatenate eagerly themselves."""
-    from sap3d_tpu.ops.concat_split import concat_split_enabled
+    from sap3d_tpu.ops.concat_split import (
+        concat_split_enabled,
+        eager_concat_sites,
+    )
 
-    if concat_split_enabled():
+    if concat_split_enabled() and site not in eager_concat_sites():
         return tuple(xs)
     return jnp.concatenate(list(xs), axis=-1)
 
@@ -395,31 +400,31 @@ class UNetPPDecoder(nn.Module):
         up_4_0 = TransposeConvNormRelu(512, (1, 3, 3), 2, **kw, name="upx_4_0")(
             x_4_0, train)
         x_3_1 = ConvNormRelu(512, (2, 3, 3), 1, **kw, name="x_3_1")(
-            _cat([x_3_0, up_4_0]), train)
+            _cat([x_3_0, up_4_0], site="x_3_1"), train)
         x_3_1 = nl(sa(x_3_1, "x_3_1_sa"), "x_3_1_nl", sub_sample=False)
 
         up_3_0 = TransposeConvNormRelu(256, (2, 3, 3), 2, **kw, name="upx_3_0")(
             x_3_0, train)
         x_2_1 = ConvNormRelu(256, 3, 1, **kw, name="x_2_1")(
-            _cat([x_2_0, up_3_0]), train)
+            _cat([x_2_0, up_3_0], site="x_2_1"), train)
         up_3_1 = TransposeConvNormRelu(256, (2, 3, 3), 2, **kw, name="upx_3_1")(
             x_3_1, train)
         x_2_2 = ConvNormRelu(256, 3, 1, **kw, name="x_2_2")(
-            _cat([x_2_1, up_3_1]), train)
+            _cat([x_2_1, up_3_1], site="x_2_2"), train)
         x_2_2 = nl(sa(x_2_2, "x_2_2_sa"), "x_2_2_nl", sub_sample=False)
 
         up_2_0 = TransposeConvNormRelu(128, 3, 2, **kw, name="upx_2_0")(
             x_2_0, train)
         x_1_1 = ConvNormRelu(128, 3, 1, **kw, name="x_1_1")(
-            _cat([x_1_0, up_2_0]), train)
+            _cat([x_1_0, up_2_0], site="x_1_1"), train)
         up_2_1 = TransposeConvNormRelu(128, 3, 2, **kw, name="upx_2_1")(
             x_2_1, train)
         x_1_2 = ConvNormRelu(128, 3, 1, **kw, name="x_1_2")(
-            _cat([x_1_1, up_2_1]), train)
+            _cat([x_1_1, up_2_1], site="x_1_2"), train)
         up_2_2 = TransposeConvNormRelu(128, 3, 2, **kw, name="upx_2_2")(
             x_2_2, train)
         x_1_3 = ConvNormRelu(128, 3, 1, **kw, name="x_1_3")(
-            _cat([x_1_2, up_2_2]), train)
+            _cat([x_1_2, up_2_2], site="x_1_3"), train)
         if self.attention == "nl":
             x_1_3 = nl(x_1_3, "x_1_3_nl", sub_sample=True)
         else:
@@ -432,7 +437,21 @@ class UNetPPDecoder(nn.Module):
             out = _conv(1, 1, dtype=self.dtype, name="result")(out)
         else:  # 'ds'
             x_1_3 = nn.Dropout(self.dropout_rate, deterministic=not train)(x_1_3)
-            out = _tconv(1, 3, 2, dtype=self.dtype, name="x_0_1")(x_1_3)
+            from sap3d_tpu.ops.fast_tconv import (
+                PhaseHeadTConv,
+                phase_head_loss_enabled,
+            )
+
+            if train and phase_head_loss_enabled():
+                # phase-layout head: [B,8,56,56,8], consumed by
+                # loss_fn_saliency against space-to-depth'd targets (same
+                # params/name as the interleaved tconv below; the loss is a
+                # permutation-invariant sum, so training math is identical
+                # — see ops/fast_tconv.py:phase_head_loss_enabled)
+                out = PhaseHeadTConv(1, (3, 3, 3), (2, 2, 2),
+                                     dtype=self.dtype, name="x_0_1")(x_1_3)
+            else:
+                out = _tconv(1, 3, 2, dtype=self.dtype, name="x_0_1")(x_1_3)
         return nn.sigmoid(out)
 
 

@@ -42,6 +42,18 @@ def concat_split_enabled() -> bool:
     return os.environ.get("SAP3D_CONCAT_SPLIT", "1") != "0"
 
 
+def eager_concat_sites() -> frozenset[str]:
+    """Per-site opt-out: ``SAP3D_CONCAT_EAGER_SITES=x_1_1,x_2_1`` forces the
+    eager concat schedule at the named decoder sites even while concat-split
+    is the global default.  A/B instrument for sites whose per-part channel
+    widths are suspected of scheduling worse than the coalesced conv (e.g.
+    x_1_1's (64,128) split vs x_1_3's (128,128) — r4 per-site profile put
+    x_1_1 at 74% f+b vs x_1_3's 91%).  Param trees are identical either way.
+    """
+    raw = os.environ.get("SAP3D_CONCAT_EAGER_SITES", "")
+    return frozenset(s.strip() for s in raw.split(",") if s.strip())
+
+
 def conv3d_concat_split(
     parts: Sequence[jax.Array],
     kernel: jax.Array,

@@ -36,6 +36,7 @@ nn.ConvTranspose is asserted per-config in tests/test_fast_tconv.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -114,7 +115,23 @@ def _phase_tconv_bwd(strides, res, dy):
 _phase_tconv.defvjp(_phase_tconv_fwd, _phase_tconv_bwd)
 
 
-def _phase_forward(x: jax.Array, kernel: jax.Array, strides: tuple) -> jax.Array:
+def phase_tconv_pre_interleave(
+    x: jax.Array, kernel: jax.Array, strides: tuple
+) -> jax.Array:
+    """The phase decomposition of conv_transpose(x, kernel, SAME) WITHOUT
+    the final interleave: returns [B, D, H, W, S*cout] where phase
+    p = (e_d*sh + e_h)*sw + e_w (output-major per phase, cout minor) and
+    the interleaved result would be
+    ``out[b, d*sd+e_d, h*sh+e_h, w*sw+e_w, c] = y[b, d, h, w, p*cout+c]``.
+
+    This is the whole tconv as one dense stride-1 conv; callers that can
+    consume the phase layout directly (e.g. a sum-reduced loss against
+    space-to-depth'd targets, train/steps.py) skip the interleave's HBM
+    relayout entirely — the lever the r4 part-D head experiment showed is
+    the expensive part (the phase CONV itself is the cheap part).
+    Differentiable by plain autodiff (no interleave in the graph, so the
+    measured backward regression of the interleaved form does not apply).
+    """
     kd, kh, kw, cin, cout = kernel.shape
     sd, sh, sw = strides
 
@@ -142,15 +159,87 @@ def _phase_forward(x: jax.Array, kernel: jax.Array, strides: tuple) -> jax.Array
     xp = jnp.pad(
         x, ((0, 0), (pb_d, pa_d), (pb_h, pa_h), (pb_w, pa_w), (0, 0))
     )
-    y = jax.lax.conv_general_dilated(
+    return jax.lax.conv_general_dilated(
         xp, w2, window_strides=(1, 1, 1), padding="VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )
+
+
+def space_to_depth3d(t: jax.Array, strides: tuple) -> jax.Array:
+    """Rearrange [B, D*sd, H*sh, W*sw] -> [B, D, H, W, S] matching
+    phase_tconv_pre_interleave's phase order (for cout == 1), so that
+    elementwise losses computed in phase layout sum to exactly the same
+    set of terms as in interleaved layout."""
+    sd, sh, sw = strides
+    b, dd, hh, ww = t.shape
+    t = t.reshape(b, dd // sd, sd, hh // sh, sh, ww // sw, sw)
+    return t.transpose(0, 1, 3, 5, 2, 4, 6).reshape(
+        b, dd // sd, hh // sh, ww // sw, sd * sh * sw
+    )
+
+
+def _phase_forward(x: jax.Array, kernel: jax.Array, strides: tuple) -> jax.Array:
+    sd, sh, sw = strides
+    cout = kernel.shape[-1]
+    y = phase_tconv_pre_interleave(x, kernel, strides)
     b, nd, nh, nw, _ = y.shape
     y = y.reshape(b, nd, nh, nw, sd, sh, sw, cout)
     return y.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
         b, nd * sd, nh * sh, nw * sw, cout
     )
+
+
+def phase_head_loss_enabled() -> bool:
+    """SAP3D_HEAD_PHASE_LOSS=1 computes the training loss against the 'ds'
+    head's PHASE-layout output ([B,8,56,56,8]) with space-to-depth'd
+    targets, instead of interleaving the prediction to [B,16,112,112,1].
+    The sum-reduced smooth-L1 is permutation-invariant, so the loss (and
+    every parameter gradient) is mathematically identical — but the
+    C_out=1 interleaved tconv (127/128 MXU output lanes idle, r4 per-site
+    profile: 10-14% efficiency) becomes a C_out=8 dense conv and the
+    interleave's HBM relayout (the measured killer of the part-D head
+    lever) disappears from the train graph.  Eval/predict paths are
+    untouched (they need the real saliency map).  Default OFF until the
+    full-step A/B (scripts/tpu_round4f.sh) decides."""
+    return os.environ.get("SAP3D_HEAD_PHASE_LOSS", "0") == "1"
+
+
+class PhaseHeadTConv(nn.Module):
+    """Same params as nn.ConvTranspose (SAME), but returns the PHASE layout
+    [B, D, H, W, S*features] — see phase_tconv_pre_interleave.  Used by the
+    'ds' saliency head under SAP3D_HEAD_PHASE_LOSS (train mode only)."""
+
+    features: int
+    kernel_size: tuple
+    strides: tuple
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+    kernel_init: nn.initializers.Initializer = glorot()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kd, kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (kd, kh, kw, cin, self.features), jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+            if self.use_bias else None
+        )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+        else:
+            kernel = kernel.astype(x.dtype)
+        y = phase_tconv_pre_interleave(x, kernel, tuple(self.strides))
+        if bias is not None:
+            # every phase of an output channel shares that channel's bias
+            b = jnp.tile(bias.astype(y.dtype), int(np.prod(self.strides)))
+            y = y + b
+        return y
 
 
 class FastConvTranspose(nn.Module):

@@ -25,9 +25,22 @@ from sap3d_tpu.train.state import TrainState
 
 def loss_fn_saliency(pred: jax.Array, target: jax.Array) -> jax.Array:
     """smooth_l1(pred, y, 1, 1, sigma=1.0) summed over all elements
-    (reference train.py:159)."""
-    pred = jnp.squeeze(pred, axis=-1)  # [B,T,H,W,1] -> [B,T,H,W]
-    return smooth_l1_loss(pred, target, 1.0, 1.0, sigma=1.0)
+    (reference train.py:159).
+
+    Under SAP3D_HEAD_PHASE_LOSS the 'ds' head emits its PHASE layout
+    [B, T/2, H/2, W/2, 8] instead of the interleaved [B,T,H,W,1]
+    (models/p3d.py 'ds' branch); the sum-reduced loss is permutation-
+    invariant, so space-to-depth'ing the target gives the identical loss
+    and gradients while the interleave never hits HBM."""
+    if pred.shape[-1] == 1:
+        pred = jnp.squeeze(pred, axis=-1)  # [B,T,H,W,1] -> [B,T,H,W]
+        return smooth_l1_loss(pred, target, 1.0, 1.0, sigma=1.0)
+    from sap3d_tpu.ops.fast_tconv import space_to_depth3d
+
+    assert pred.shape[-1] == 8 and pred.shape[1] * 2 == target.shape[1], (
+        pred.shape, target.shape)
+    return smooth_l1_loss(pred, space_to_depth3d(target, (2, 2, 2)),
+                          1.0, 1.0, sigma=1.0)
 
 
 def fast_dropout_key(rng: jax.Array) -> jax.Array:

@@ -9,6 +9,16 @@ this script times the FULL jitted train step under ablations instead:
   fwd_only       — model.apply only (train=True shapes, no grad)
   no_optimizer   — value_and_grad but no Adam/BN update
   fp32_loss      — (control) nothing ablated, k=1 vs k=4 scan overhead
+  stage1_thin    — encoder stage 1 at 1 bottleneck instead of 3 (same
+                   shapes everywhere downstream); (full − stage1_thin)
+                   = the true in-step cost of 2 stage-1 blocks, so
+                   stage-1 non-entry blocks cost 3/2 × the delta.
+                   Lesson of r4 part D: isolated per-site profiles
+                   over-state (they time dx-of-input the real step never
+                   computes) — only full-step ablations like these decide
+                   whether a stage is worth a lever.
+  stage3_thin    — encoder stage 3 at 12 bottlenecks instead of 36
+                   (delta = 24 stage-3 blocks)
 
 Differences between ablations bound each component's true in-context cost.
 Chained N-differencing methodology (bench.py docstring).
@@ -144,6 +154,23 @@ def main():
               optimizer=False)
     if "fwd" in which:
         fwd_only(build_model("p3d_unetplusplus_ds", dtype="bfloat16"))
+    # Encoder-stage thin ablations: swap one stage's block count, keep all
+    # feature shapes (stage entry block retained, so strides/projection and
+    # every skip shape are unchanged; only the A/B/C cycling phase of later
+    # blocks shifts, which is FLOP-neutral — every st_type runs one S and
+    # one T conv).
+    if "stage1_thin" in which:
+        timed("stage1_thin (3->1)", P3DSaliency(
+            decoder="unetpp", decoder_kwargs=dict(attention="sa", head="ds"),
+            stages=((64, 1), (128, 8), (256, 36)), dtype=jnp.bfloat16))
+    if "stage2_thin" in which:
+        timed("stage2_thin (8->2)", P3DSaliency(
+            decoder="unetpp", decoder_kwargs=dict(attention="sa", head="ds"),
+            stages=((64, 3), (128, 2), (256, 36)), dtype=jnp.bfloat16))
+    if "stage3_thin" in which:
+        timed("stage3_thin (36->12)", P3DSaliency(
+            decoder="unetpp", decoder_kwargs=dict(attention="sa", head="ds"),
+            stages=((64, 3), (128, 8), (256, 12)), dtype=jnp.bfloat16))
 
 
 if __name__ == "__main__":

@@ -100,3 +100,26 @@ def test_composes_with_via_2d(monkeypatch):
     got = conv3d_concat_split([a, b], kernel, None, (1, 1, 1))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0, atol=1e-5)
+
+
+def test_eager_site_override_matches(monkeypatch):
+    """SAP3D_CONCAT_EAGER_SITES forces eager concat at the named sites only:
+    same param tree, same forward output as the all-split default."""
+    from sap3d_tpu.models.registry import build_model
+
+    frames = _rand(jax.random.PRNGKey(4), (2, 16, 16, 16, 3))
+
+    monkeypatch.setenv("SAP3D_CONCAT_SPLIT", "1")
+    monkeypatch.delenv("SAP3D_CONCAT_EAGER_SITES", raising=False)
+    model = build_model("p3d_micro", dtype="float32")
+    variables = model.init(jax.random.PRNGKey(0), frames, train=False)
+    base = model.apply(variables, frames, train=False)
+
+    monkeypatch.setenv("SAP3D_CONCAT_EAGER_SITES", "x_1_1, x_2_1")
+    model2 = build_model("p3d_micro", dtype="float32")
+    variables2 = model2.init(jax.random.PRNGKey(0), frames, train=False)
+    assert jax.tree_util.tree_structure(variables2) == \
+        jax.tree_util.tree_structure(variables)
+    got = model2.apply(variables, frames, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=0, atol=1e-5)
