@@ -38,16 +38,48 @@ FLAGSHIP = "p3d_unetplusplus_ds"
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
 
 
+def _bench_model() -> str:
+    """BENCH_MODEL selects the benched variant (default: the flagship).
+
+    Lets the same instrument measure the GN+CBAM family (BASELINE.json
+    configs 2-3, reference gn/p3d_gn.py) — e.g.
+    BENCH_MODEL=inference_p3d_sa_decoder_block python bench.py."""
+    return os.environ.get("BENCH_MODEL", FLAGSHIP)
+
+
+def _bench_wd() -> float:
+    """BENCH_WD: coupled-L2 weight decay for the train state (the GN
+    trainer's production config uses 5e-4, reference gn/p3d_gn.py:14-21)."""
+    return float(os.environ.get("BENCH_WD", "0"))
+
+
 def _diff_time(run, n_small=3, n_large=13):
-    """Time run(n) for two n and return seconds per iteration."""
+    """Median seconds/iteration over BENCH_REPEATS (default 3) paired
+    (n_small, n_large) differencing passes, plus the relative spread.
+
+    Round-4 lesson (BASELINE.md part E): single-shot measurements on the
+    tunneled runtime carry ±1.7% run-to-run jitter, below which A/B deltas
+    were being adjudicated post-hoc.  Repeating the paired differencing and
+    reporting median ± spread makes the noise band part of the record: a
+    delta inside the band is declared a tie, not a win.
+
+    Returns (sec_per_iter_median, spread_frac) where spread_frac =
+    (max - min) / median across repeats (0.0 when repeats == 1).
+    """
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
     run(2)  # warmup (compile + cache)
-    t0 = time.perf_counter()
-    run(n_small)
-    t_small = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    run(n_large)
-    t_large = time.perf_counter() - t0
-    return (t_large - t_small) / (n_large - n_small)
+    estimates = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run(n_small)
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(n_large)
+        t_large = time.perf_counter() - t0
+        estimates.append((t_large - t_small) / (n_large - n_small))
+    med = float(np.median(estimates))
+    spread = (max(estimates) - min(estimates)) / med if repeats > 1 else 0.0
+    return med, spread
 
 
 def _peak_flops() -> float:
@@ -90,14 +122,15 @@ def bench_train(batch: int, steps_per_call: int = 4):
     K-step program's own cost analysis counts the lax.scan body once, not K
     times, so it under-reports by ~K; the single-step program has no loop.)
     """
-    model = build_model(FLAGSHIP, dtype="bfloat16")
+    model = build_model(_bench_model(), dtype="bfloat16")
     k = steps_per_call
     shape = (k, batch, 16, 112, 112, 3)
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.normal(size=shape).astype(np.float32) * 0.3)
     targets = jnp.asarray(rng.random(shape[:-1]).astype(np.float32))
     state0 = create_train_state(
-        model, jax.random.PRNGKey(0), input_shape=shape[1:]
+        model, jax.random.PRNGKey(0), input_shape=shape[1:],
+        weight_decay=_bench_wd(),
     )
     step = make_multi_train_step(model, k, donate=True)
     key = jax.random.PRNGKey(1)
@@ -110,16 +143,16 @@ def bench_train(batch: int, steps_per_call: int = 4):
             state, losses = step(state, frames, targets, key)
         return float(losses[-1])  # host materialization forces completion
 
-    sec_per_call = _diff_time(run)
+    sec_per_call, spread = _diff_time(run)
     single = make_train_step(model, donate=False)
     flops = _compiled_flops(single, state0, frames[0], targets[0], key)
     mfu = (flops * k / sec_per_call / _peak_flops()) if flops else None
-    return k * batch / sec_per_call, mfu
+    return k * batch / sec_per_call, mfu, spread
 
 
 def bench_infer(batch: int):
     """(clips/sec, MFU) for the flagship forward (gen_pred path), chained."""
-    model = build_model(FLAGSHIP, dtype="bfloat16")
+    model = build_model(_bench_model(), dtype="bfloat16")
     shape = (batch, 16, 112, 112, 3)
     frames = jnp.asarray(
         np.random.default_rng(0).normal(size=shape).astype(np.float32) * 0.3
@@ -141,10 +174,10 @@ def bench_infer(batch: int):
             f, out = chained(state, f)
         return float(out.reshape(-1)[0])
 
-    sec_per_call = _diff_time(run)
+    sec_per_call, spread = _diff_time(run)
     flops = _compiled_flops(chained, state, frames)
     mfu = (flops / sec_per_call / _peak_flops()) if flops else None
-    return batch / sec_per_call, mfu
+    return batch / sec_per_call, mfu, spread
 
 
 def _probe_devices(timeout_s: float) -> str | None:
@@ -193,16 +226,16 @@ def main():
     train_k = int(os.environ.get("BENCH_TRAIN_K", "8"))
     infer_batch = int(os.environ.get("BENCH_INFER_BATCH", "16"))
 
-    train_cps, train_mfu = bench_train(train_batch, train_k)
-    infer_cps, infer_mfu = bench_infer(infer_batch)
+    train_cps, train_mfu, train_spread = bench_train(train_batch, train_k)
+    infer_cps, infer_mfu, infer_spread = bench_infer(infer_batch)
 
     baseline = None
-    if os.path.exists(BASELINE_FILE):
+    if _bench_model() == FLAGSHIP and os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             baseline = json.load(f)
         if baseline.get("methodology") != "chained+materialize":
             baseline = None  # discard pre-fix baselines
-    if baseline is None:
+    if baseline is None and _bench_model() == FLAGSHIP:
         baseline = {
             "train_clips_per_sec": train_cps,
             "infer_clips_per_sec": infer_cps,
@@ -215,15 +248,19 @@ def main():
         except OSError:
             pass
 
-    vs = train_cps / baseline["train_clips_per_sec"]
+    # vs_baseline compares against the recorded FLAGSHIP r01 baseline; a
+    # non-flagship BENCH_MODEL run has no recorded baseline -> 1.0 (itself).
+    vs = train_cps / baseline["train_clips_per_sec"] if baseline else 1.0
     print(json.dumps({
-        "metric": "train clips/sec/chip (16-frame, p3d_unetplusplus_ds)",
+        "metric": f"train clips/sec/chip (16-frame, {_bench_model()})",
         "value": round(train_cps, 2),
         "unit": "clips/sec",
         "vs_baseline": round(vs, 3),
         "train_mfu": round(train_mfu, 3) if train_mfu else None,
+        "train_spread_pct": round(train_spread * 100, 2),
         "infer_clips_per_sec": round(infer_cps, 2),
         "infer_mfu": round(infer_mfu, 3) if infer_mfu else None,
+        "infer_spread_pct": round(infer_spread * 100, 2),
         "train_batch": train_batch,
         "infer_batch": infer_batch,
         "platform": platform,

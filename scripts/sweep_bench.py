@@ -25,13 +25,14 @@ def main():
         # not kill the remaining legs — the r4 sweep died at b=32 on the
         # x_2_2 flash-bwd scoped-vmem cliff and lost nothing but its own leg
         try:
-            cps, mfu = bench.bench_train(b, steps_per_call=k)
+            cps, mfu, spread = bench.bench_train(b, steps_per_call=k)
         except Exception as e:  # noqa: BLE001
             print(f"batch {b:3d} k {k}: FAILED {type(e).__name__}: "
                   f"{str(e).splitlines()[0][:200]}", flush=True)
             continue
         print(f"batch {b:3d} k {k}: {cps:7.2f} clips/s  "
-              f"MFU {mfu:.3f}" if mfu else f"batch {b} k {k}: {cps:.2f}",
+              + (f"MFU {mfu:.3f}  " if mfu else "")
+              + f"spread {spread * 100:.1f}%",
               flush=True)
 
 

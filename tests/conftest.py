@@ -28,3 +28,34 @@ os.environ["XLA_FLAGS"] = flags
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# ---------------------------------------------------------------------------
+# Test tiers (round-5 verdict item 7): the full matrix takes >1h on one host
+# (multi-device mesh tests dominate); `pytest -m fast` is the sub-5-minute
+# development tier covering every op/model/metric parity test.
+#
+# Marks are assigned by module here; an individual test opts OUT of the fast
+# tier with an explicit @pytest.mark.slow (full-scale model builds, TF
+# reference graphs).  The full suite (no -m) still runs everything.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+_MODULE_MARKS = {
+    "test_multihost": "multihost",
+    "test_sharding": "multidevice",
+    "test_tensor_parallel": "multidevice",
+    "test_time_parallel": "multidevice",
+    "test_ring_attention": "multidevice",
+    "test_full_topology": "multidevice",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        mark = _MODULE_MARKS.get(mod)
+        if mark is not None:
+            item.add_marker(getattr(pytest.mark, mark))
+        elif "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
