@@ -199,9 +199,16 @@ def phase_head_loss_enabled() -> bool:
     profile: 10-14% efficiency) becomes a C_out=8 dense conv and the
     interleave's HBM relayout (the measured killer of the part-D head
     lever) disappears from the train graph.  Eval/predict paths are
-    untouched (they need the real saliency map).  Default OFF until the
-    full-step A/B (scripts/tpu_round4f.sh) decides."""
-    return os.environ.get("SAP3D_HEAD_PHASE_LOSS", "0") == "1"
+    untouched (they need the real saliency map).
+
+    Default ON since round 5: the full-step A/B measured 100.34 / 101.24
+    ms/step (two idle-host sessions, 2026-08-20) vs a 103.17-104.54
+    reference band — a ~3% win well outside the measured run-to-run
+    spread.  (The companion x_1_1 eager-coalesce lever measured inside
+    the band alone, and WORSE than phase-loss alone when combined —
+    102.69/108.49 — so it stays off; see BASELINE.md round 5.)
+    Opt out with SAP3D_HEAD_PHASE_LOSS=0."""
+    return os.environ.get("SAP3D_HEAD_PHASE_LOSS", "1") == "1"
 
 
 class PhaseHeadTConv(nn.Module):

@@ -33,12 +33,40 @@ BLOCK_Q = 256
 # Sublane replication factor of the saved lse rows (one full sublane tile),
 # required for a Mosaic-legal [1, 8, BLOCK_Q] output block — see _fwd_kernel.
 LSE_SUBLANES = 8
-# Leave headroom under the ~16MB/core VMEM for double buffering.
+# Conservative working-set budgets tuned for the flagship's SA sites
+# (d=16, c<=128).  The GN family's decoder sites (nq=nk=6272, d up to 128,
+# c up to 1024 — models/p3d.py GNDecoderBlock) need ~20-43MB fwd / ~24-59MB
+# bwd, still well under the v5e's 128MB physical VMEM; SAP3D_FLASH_VMEM_MB
+# raises the gate (bwd budget = 1.2x the env value) so those sites take the
+# kernel instead of the chunked-XLA fallback.  Measured A/B decides the
+# default (BASELINE.md round 5).
 VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 # The backward's footprint is modeled more tightly (no blanket 2x factor:
 # k/v/dk/dv are grid-resident and the [BQ, Nk] intermediates are scratch),
 # so its budget sits closer to the physical 16MB.
 VMEM_BUDGET_BWD_BYTES = 12 * 1024 * 1024
+
+
+def _budgets() -> tuple[int, int]:
+    import os
+
+    mb = os.environ.get("SAP3D_FLASH_VMEM_MB")
+    if mb:
+        b = int(float(mb) * 1024 * 1024)
+        return b, int(b * 1.2)
+    return VMEM_BUDGET_BYTES, VMEM_BUDGET_BWD_BYTES
+
+
+def _vmem_ceiling_bytes() -> int:
+    """Mosaic scoped-vmem ceiling for the kernels (SAP3D_FLASH_CEILING_MB).
+
+    Default 64MB (the r4 fix for the b=32 flagship compile); the GN dp4
+    site's backward working set is ~59MB, so admitting it via
+    SAP3D_FLASH_VMEM_MB also needs this lifted toward the 128MB physical."""
+    import os
+
+    return int(float(os.environ.get("SAP3D_FLASH_CEILING_MB", "64"))
+               * 1024 * 1024)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
@@ -119,7 +147,7 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array,
         # see the backward's note: Mosaic's scoped-vmem need is batch-
         # dependent beyond the block-shape model; lift the 16MB default
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=_vmem_ceiling_bytes(),
         ),
     )(q, k, v)
     if not want_lse:
@@ -273,7 +301,7 @@ def _flash_backward(q, k, v, do, o, lse, dlse=None):
         # Raise the ceiling for this kernel only — v5e VMEM is 128MB and
         # our gate already bounds the resident working set to ~12MB.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=_vmem_ceiling_bytes(),
         ),
     )(q, k, v, do, o, lse, *extra_in)
     return dq[:, :nq], dk.astype(k.dtype), dv.astype(v.dtype)
@@ -359,9 +387,10 @@ def flash_attention_viable(
         + 2 * (BLOCK_Q_BWD * (d + 2 * c + 1) * itemsize
                + BLOCK_Q_BWD * d * 4)
     )
+    budget_fwd, budget_bwd = _budgets()
     return (
-        fwd * 2 <= VMEM_BUDGET_BYTES
-        and (not training or bwd <= VMEM_BUDGET_BWD_BYTES)
+        fwd * 2 <= budget_fwd
+        and (not training or bwd <= budget_bwd)
         and nq >= BLOCK_Q
     )
 

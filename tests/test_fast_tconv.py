@@ -104,7 +104,8 @@ def test_phase_head_loss_grads_match(monkeypatch):
         )
         return loss_fn_saliency(out, targets)
 
-    monkeypatch.delenv("SAP3D_HEAD_PHASE_LOSS", raising=False)
+    # pin the interleaved leg explicitly (the flag defaults ON since r5)
+    monkeypatch.setenv("SAP3D_HEAD_PHASE_LOSS", "0")
     model = build_model("p3d_micro", dtype="float32")
     variables = model.init(jax.random.PRNGKey(0), frames, train=False)
     base_loss, base_grads = jax.value_and_grad(

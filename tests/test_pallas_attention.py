@@ -29,6 +29,7 @@ def _ref(q, k, v):
         (1, 256, 64, 8, 16),     # exact block multiple
         (2, 300, 49, 4, 32),     # ragged nq (padding path)
         (1, 512, 100, 2, 8),     # tiny head dim (x_0_1-like)
+        (1, 300, 128, 32, 64),   # GN-decoder proportions (d=C//8 wide, r5)
     ],
 )
 def test_flash_forward_matches_reference(b, nq, nk, d, c):
@@ -162,3 +163,19 @@ def test_flash_primal_nolse_matches_reference():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(nolse), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_viability_env_override(monkeypatch):
+    """SAP3D_FLASH_VMEM_MB widens the gate to admit the GN decoder sites
+    (nq=nk=6272, d=32..128, c=256..1024, bf16) that the flagship-tuned
+    default budget rejects; the default stays unchanged without the env."""
+    gn_sites = [(6272, 6272, 32, 256), (6272, 6272, 64, 512),
+                (6272, 6272, 128, 1024)]
+    monkeypatch.delenv("SAP3D_FLASH_VMEM_MB", raising=False)
+    for nq, nk, d, c in gn_sites:
+        assert not flash_attention_viable(nq, nk, d, c, itemsize=2)
+    # flagship-sized site still passes the default gate
+    assert flash_attention_viable(4096, 392, 16, 128, itemsize=2)
+    monkeypatch.setenv("SAP3D_FLASH_VMEM_MB", "56")
+    for nq, nk, d, c in gn_sites:
+        assert flash_attention_viable(nq, nk, d, c, itemsize=2), (nq, d, c)
