@@ -165,16 +165,22 @@ def test_flash_primal_nolse_matches_reference():
                                rtol=1e-4, atol=1e-5)
 
 
-def test_viability_env_override(monkeypatch):
-    """SAP3D_FLASH_VMEM_MB widens the gate to admit the GN decoder sites
-    (nq=nk=6272, d=32..128, c=256..1024, bf16) that the flagship-tuned
-    default budget rejects; the default stays unchanged without the env."""
+def test_viability_asymmetric_gate(monkeypatch):
+    """The gate is asymmetric by measurement (v5e 2026-08-20, BASELINE.md
+    round 5 part C): at the GN decoder sites (nq=nk=6272, d=32..128,
+    c=256..1024, bf16) the flash FORWARD wins +10.5% whole-model inference
+    but the flash BACKWARD loses 33% at train — so training keeps the
+    flagship-tuned budgets and inference admits the wider shapes by
+    default.  SAP3D_FLASH_VMEM_MB still widens the training gate for
+    A/B re-measurement."""
     gn_sites = [(6272, 6272, 32, 256), (6272, 6272, 64, 512),
                 (6272, 6272, 128, 1024)]
     monkeypatch.delenv("SAP3D_FLASH_VMEM_MB", raising=False)
     for nq, nk, d, c in gn_sites:
         assert not flash_attention_viable(nq, nk, d, c, itemsize=2)
-    # flagship-sized site still passes the default gate
+        assert flash_attention_viable(nq, nk, d, c, itemsize=2,
+                                      training=False), (nq, d, c)
+    # flagship-sized site passes both gates
     assert flash_attention_viable(4096, 392, 16, 128, itemsize=2)
     monkeypatch.setenv("SAP3D_FLASH_VMEM_MB", "56")
     for nq, nk, d, c in gn_sites:
