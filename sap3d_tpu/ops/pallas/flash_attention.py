@@ -47,6 +47,17 @@ VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 VMEM_BUDGET_BWD_BYTES = 12 * 1024 * 1024
 
 
+# Inference-only forward budget: wide enough to admit the GN decoder's SA
+# sites (largest fwd working set ~43MB at dp4).  Measured on v5e 2026-08-20
+# (BASELINE.md round 5 part C): at those sites the flash FORWARD wins
+# +10.5% whole-model inference (224.1 vs 202.8 clips/s, b16) while the
+# flash BACKWARD loses badly (323.6 vs 242.5 ms/step train — the fp32
+# dk/dv accumulators + [BQ,Nk] intermediates at c=1024 blow the VMEM
+# working set), so the gate is asymmetric: training keeps the
+# flagship-tuned 10/12MB budgets, inference admits up to 56MB.
+VMEM_BUDGET_INFER_BYTES = 56 * 1024 * 1024
+
+
 def _budgets() -> tuple[int, int]:
     import os
 
@@ -60,12 +71,13 @@ def _budgets() -> tuple[int, int]:
 def _vmem_ceiling_bytes() -> int:
     """Mosaic scoped-vmem ceiling for the kernels (SAP3D_FLASH_CEILING_MB).
 
-    Default 64MB (the r4 fix for the b=32 flagship compile); the GN dp4
-    site's backward working set is ~59MB, so admitting it via
-    SAP3D_FLASH_VMEM_MB also needs this lifted toward the 128MB physical."""
+    Default 100MB (raised from the r4 64MB when the inference gate started
+    admitting the GN decoder sites, whose dp4 forward working set is ~43MB
+    before pipeline buffering; v5e physical VMEM is 128MB).  This is a cap,
+    not an allocation — kernels that fit 64MB are unaffected."""
     import os
 
-    return int(float(os.environ.get("SAP3D_FLASH_CEILING_MB", "64"))
+    return int(float(os.environ.get("SAP3D_FLASH_CEILING_MB", "100"))
                * 1024 * 1024)
 
 
@@ -388,6 +400,10 @@ def flash_attention_viable(
                + BLOCK_Q_BWD * d * 4)
     )
     budget_fwd, budget_bwd = _budgets()
+    if not training:
+        # inference-only: no backward constraint, and the wider forward
+        # budget admits the GN decoder sites (see VMEM_BUDGET_INFER_BYTES)
+        budget_fwd = max(budget_fwd, VMEM_BUDGET_INFER_BYTES)
     return (
         fwd * 2 <= budget_fwd
         and (not training or bwd <= budget_bwd)
