@@ -230,6 +230,7 @@ class SelfAttention3D(nn.Module):
             o = ring_attend_sharded(self.ring_mesh, q_t, k_t, v_t)
             return self._epilogue(x, o, train)
         use_pallas = self.use_pallas
+        use_hybrid = False
         if use_pallas is None:
             import os
 
@@ -238,21 +239,39 @@ class SelfAttention3D(nn.Module):
                 on_tpu,
             )
 
-            use_pallas = (
-                os.environ.get("SAP3D_DISABLE_PALLAS") != "1"
-                and on_tpu()
+            pallas_ok = (
+                os.environ.get("SAP3D_DISABLE_PALLAS") != "1" and on_tpu()
+            )
+            args = (q_t.shape[1], k_t.shape[1], q_t.shape[2], v_t.shape[2])
+            use_pallas = pallas_ok and flash_attention_viable(
+                *args, itemsize=q_t.dtype.itemsize,
+                # inference-only traces never run the kernel backward,
+                # so borderline sites need only fit the forward budget
+                training=train,
+            )
+            # Train-mode hybrid (SAP3D_FLASH_HYBRID=1, A/B lever): sites
+            # that fit the inference forward budget but not the backward
+            # one (the GN decoder's SA sites) run the Pallas forward with
+            # a chunked-XLA recompute backward — the flash backward kernel
+            # measured -19% at these shapes (BASELINE.md round 5 part C/D)
+            # but the forward alone won +10% at inference.
+            use_hybrid = (
+                not use_pallas and train and pallas_ok
+                and os.environ.get("SAP3D_FLASH_HYBRID", "0") == "1"
                 and flash_attention_viable(
-                    q_t.shape[1], k_t.shape[1], q_t.shape[2], v_t.shape[2],
-                    itemsize=q_t.dtype.itemsize,
-                    # inference-only traces never run the kernel backward,
-                    # so borderline sites need only fit the forward budget
-                    training=train,
+                    *args, itemsize=q_t.dtype.itemsize, training=False,
                 )
             )
         if use_pallas:
             from sap3d_tpu.ops.pallas.flash_attention import flash_attend_tokens
 
             o = flash_attend_tokens(q_t, k_t, v_t)
+        elif use_hybrid:
+            from sap3d_tpu.ops.pallas.flash_attention import (
+                flash_fwd_chunked_bwd,
+            )
+
+            o = flash_fwd_chunked_bwd(q_t, k_t, v_t)
         else:
             o = attend_tokens(q_t, k_t, v_t)
         return self._epilogue(x, o, train)

@@ -370,6 +370,35 @@ def _bwd_rule_lse(res, g):
 flash_attend_tokens_lse.defvjp(_fwd_rule_lse, _bwd_rule_lse)
 
 
+@jax.custom_vjp
+def flash_fwd_chunked_bwd(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Hybrid for shapes where the flash FORWARD wins but the flash
+    BACKWARD loses (the GN decoder's SA sites, BASELINE.md round 5 part C:
+    c=1024 keeps ~43MB of fp32 dk/dv accumulators + [BQ,Nk] intermediates
+    VMEM-resident and the backward kernel measured -19% at full step).
+
+    Forward: the Pallas kernel, no lse output (scores never touch HBM).
+    Backward: flash-style recompute through the chunked XLA path
+    (ops/attention.py:attend_tokens) and autodiff of it — the same math,
+    so gradients agree with either pure path at fp rounding level."""
+    return _flash_forward(q, k, v, want_lse=False)[0]
+
+
+def _hybrid_fwd_rule(q, k, v):
+    return _flash_forward(q, k, v, want_lse=False)[0], (q, k, v)
+
+
+def _hybrid_bwd_rule(res, g):
+    from sap3d_tpu.ops.attention import attend_tokens
+
+    q, k, v = res
+    _, vjp = jax.vjp(attend_tokens, q, k, v)
+    return vjp(g)
+
+
+flash_fwd_chunked_bwd.defvjp(_hybrid_fwd_rule, _hybrid_bwd_rule)
+
+
 def flash_attention_viable(
     nq: int, nk: int, d: int, c: int, itemsize: int = 4,
     training: bool = True,

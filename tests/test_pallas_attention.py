@@ -185,3 +185,31 @@ def test_viability_asymmetric_gate(monkeypatch):
     monkeypatch.setenv("SAP3D_FLASH_VMEM_MB", "56")
     for nq, nk, d, c in gn_sites:
         assert flash_attention_viable(nq, nk, d, c, itemsize=2), (nq, d, c)
+
+
+def test_hybrid_fwd_chunked_bwd_matches_reference():
+    """flash_fwd_chunked_bwd (the GN-site train hybrid): Pallas forward +
+    chunked-XLA recompute backward must match the reference on both the
+    output and all three gradients."""
+    from sap3d_tpu.ops.pallas.flash_attention import flash_fwd_chunked_bwd
+
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(2, 300, 8)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 49, 8)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 49, 16)), jnp.float32)
+
+    def loss_hybrid(q, k, v):
+        return jnp.sum(flash_fwd_chunked_bwd(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref(q, k, v) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_fwd_chunked_bwd(q, k, v)
+        g_hybrid = jax.grad(loss_hybrid, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(q, k, v)),
+                               rtol=1e-4, atol=1e-5)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gh, gr in zip(g_hybrid, g_ref):
+        np.testing.assert_allclose(np.asarray(gh), np.asarray(gr),
+                                   rtol=2e-3, atol=1e-5)
