@@ -70,8 +70,13 @@ def main():
         del state
 
         # instrument the evaluator: time the device forward (materialized)
-        # and the loader waits, leaving host metrics as the remainder
-        shares = {"forward": 0.0, "data": 0.0, "clips": 0}
+        # and the loader waits, leaving host metrics as the remainder.
+        # The FIRST forward call carries the eval-step compile (observed
+        # ~40s even with the persistent cache: the jit wrapper re-traces
+        # per process) — reported separately so the steady-state device
+        # share is not conflated with it.
+        shares = {"forward": 0.0, "data": 0.0, "clips": 0,
+                  "first_forward": None, "n_forward": 0}
         orig = ev_mod.evaluate_prediction_batches
 
         def instrumented(batches, forward_fn, **kw):
@@ -90,7 +95,11 @@ def main():
             def timed_forward(f):
                 t0 = time.perf_counter()
                 out = np.asarray(forward_fn(f))
-                shares["forward"] += time.perf_counter() - t0
+                dt = time.perf_counter() - t0
+                shares["forward"] += dt
+                shares["n_forward"] += 1
+                if shares["first_forward"] is None:
+                    shares["first_forward"] = dt
                 return out
 
             return orig(timed_batches(), timed_forward, **kw)
@@ -114,6 +123,12 @@ def main():
 
         metric_t = e2e - shares["forward"] - shares["data"]
         n = shares["clips"]
+        first = shares["first_forward"] or 0.0
+        nf = shares["n_forward"]
+        steady_fwd = ((shares["forward"] - first) / (nf - 1)) if nf > 1 else None
+        # frames/s with the one-time compile excluded: the number a long
+        # evaluation run converges to
+        steady_fps = n / (e2e - first) if e2e > first else None
         print(json.dumps({
             "metric": "cli-eval end-to-end frames/s (5-metric protocol, "
                       "960x1080 last frame)",
@@ -124,6 +139,11 @@ def main():
             "device_forward_share": round(shares["forward"] / e2e, 3),
             "data_wait_share": round(shares["data"] / e2e, 3),
             "host_metric_share": round(metric_t / e2e, 3),
+            "first_forward_s": round(first, 2),
+            "steady_forward_s_per_batch": (
+                round(steady_fwd, 3) if steady_fwd is not None else None),
+            "steady_frames_per_sec": (
+                round(steady_fps, 2) if steady_fps is not None else None),
             "batch": args.batch,
             "structure": args.structure,
             "platform": jax.devices()[0].platform,
